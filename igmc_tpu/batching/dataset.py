@@ -1,0 +1,367 @@
+"""Subgraph datasets (static precomputed + dynamic on-the-fly) and the batch loader.
+
+Replaces the reference's PyG InMemoryDataset / Dataset pair
+(/root/reference/util_functions.py:69-145):
+
+  * StaticGraphDataset — extracts all subgraphs once, stores them in a packed
+    structure-of-arrays (concatenated fields + offsets, compact and O(1) to
+    slice), and caches to `<root>/processed/data.npz` (data_<max_num>.npz when
+    subsampled), mirroring the reference cache layout semantics.
+  * DynamicGraphDataset — extracts at access time (memory-light path for
+    ml_1m-scale data).
+  * BatchLoader — shuffles per epoch (seeded), collates fixed-size padded
+    batches on a geometric bucket ladder, and prefetches to device on a
+    background thread (replaces DataLoader workers + per-batch H2D copies).
+
+`max_num` subsampling uses np.random.seed(123) permutation exactly like the
+reference (/root/reference/util_functions.py:84-90).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..graphs.csr import BipartiteCSR
+from ..graphs.extract import Subgraph, extract_many, extract_subgraph
+from .batch import GraphBatch, collate, pad_ladder, bucket_for
+
+
+def _apply_max_num(links, labels, max_num):
+    if max_num is None:
+        return links, labels
+    np.random.seed(123)
+    perm = np.random.permutation(len(links[0]))[:max_num]
+    return (links[0][perm], links[1][perm]), labels[perm]
+
+
+class _PackedGraphs:
+    """Structure-of-arrays storage for a list of Subgraphs."""
+
+    def __init__(self, graphs: Sequence[Subgraph]):
+        n = len(graphs)
+        self.node_offsets = np.zeros(n + 1, dtype=np.int64)
+        self.edge_offsets = np.zeros(n + 1, dtype=np.int64)
+        for i, g in enumerate(graphs):
+            self.node_offsets[i + 1] = self.node_offsets[i] + g.num_nodes
+            self.edge_offsets[i + 1] = self.edge_offsets[i] + len(g.src)
+        self.node_label = (
+            np.concatenate([g.node_label for g in graphs])
+            if n else np.zeros(0, np.int32)
+        )
+        self.src = np.concatenate([g.src for g in graphs]) if n else np.zeros(0, np.int32)
+        self.dst = np.concatenate([g.dst for g in graphs]) if n else np.zeros(0, np.int32)
+        self.etype = np.concatenate([g.etype for g in graphs]) if n else np.zeros(0, np.int32)
+        self.num_u = np.array([g.num_u for g in graphs], dtype=np.int32)
+        self.y = np.array([g.y for g in graphs], dtype=np.float32)
+        if n and graphs[0].u_feat is not None:
+            self.u_feat = np.stack([g.u_feat for g in graphs]).astype(np.float32)
+            self.v_feat = np.stack([g.v_feat for g in graphs]).astype(np.float32)
+        else:
+            self.u_feat = None
+            self.v_feat = None
+
+    @classmethod
+    def _from_arrays(cls, d):
+        obj = cls.__new__(cls)
+        obj.node_offsets = d["node_offsets"]
+        obj.edge_offsets = d["edge_offsets"]
+        obj.node_label = d["node_label"]
+        obj.src = d["src"]
+        obj.dst = d["dst"]
+        obj.etype = d["etype"]
+        obj.num_u = d["num_u"]
+        obj.y = d["y"]
+        obj.u_feat = d.get("u_feat")
+        obj.v_feat = d.get("v_feat")
+        return obj
+
+    def __len__(self):
+        return len(self.y)
+
+    def get(self, i: int) -> Subgraph:
+        ns, ne = self.node_offsets[i], self.node_offsets[i + 1]
+        es, ee = self.edge_offsets[i], self.edge_offsets[i + 1]
+        return Subgraph(
+            src=self.src[es:ee],
+            dst=self.dst[es:ee],
+            etype=self.etype[es:ee],
+            node_label=self.node_label[ns:ne],
+            num_u=int(self.num_u[i]),
+            num_v=int(ne - ns - self.num_u[i]),
+            y=float(self.y[i]),
+            u_feat=self.u_feat[i] if self.u_feat is not None else None,
+            v_feat=self.v_feat[i] if self.v_feat is not None else None,
+        )
+
+    def node_counts(self) -> np.ndarray:
+        return np.diff(self.node_offsets)
+
+    def edge_counts(self) -> np.ndarray:
+        """Directed (doubled) edge counts."""
+        return 2 * np.diff(self.edge_offsets)
+
+    def save(self, path: str):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        d = dict(
+            node_offsets=self.node_offsets, edge_offsets=self.edge_offsets,
+            node_label=self.node_label, src=self.src, dst=self.dst,
+            etype=self.etype, num_u=self.num_u, y=self.y,
+        )
+        if self.u_feat is not None:
+            d["u_feat"] = self.u_feat
+            d["v_feat"] = self.v_feat
+        np.savez_compressed(path, **d)
+
+    @classmethod
+    def load(cls, path: str) -> "_PackedGraphs":
+        with np.load(path, allow_pickle=False) as z:
+            return cls._from_arrays({k: z[k] for k in z.files})
+
+
+class StaticGraphDataset:
+    """Precomputed, disk-cached enclosing-subgraph dataset."""
+
+    def __init__(
+        self,
+        root: str,
+        A,
+        links,
+        labels,
+        h: int = 1,
+        sample_ratio: float = 1.0,
+        max_nodes_per_hop: Optional[int] = None,
+        u_features=None,
+        v_features=None,
+        class_values=None,
+        max_num: Optional[int] = None,
+        seed: int = 0,
+        backend: str = "auto",
+    ):
+        self.root = root
+        links, labels = _apply_max_num(links, labels, max_num)
+        name = "data.npz" if max_num is None else f"data_{max_num}.npz"
+        cache = os.path.join(root, "processed", name) if root else None
+        if cache and os.path.isfile(cache):
+            self.packed = _PackedGraphs.load(cache)
+        else:
+            if not isinstance(A, BipartiteCSR):
+                A = BipartiteCSR(A)
+            graphs = extract_many(
+                links, labels, A, h, sample_ratio, max_nodes_per_hop,
+                _densify(u_features), _densify(v_features), class_values,
+                seed=seed, progress=True, backend=backend,
+            )
+            self.packed = _PackedGraphs(graphs)
+            if cache:
+                self.packed.save(cache)
+
+    def __len__(self):
+        return len(self.packed)
+
+    def get(self, i: int) -> Subgraph:
+        return self.packed.get(i)
+
+    def node_counts(self):
+        return self.packed.node_counts()
+
+    def edge_counts(self):
+        return self.packed.edge_counts()
+
+
+def _densify(feat):
+    if feat is None:
+        return None
+    if hasattr(feat, "toarray"):
+        return feat.toarray().astype(np.float32)
+    return np.asarray(feat, dtype=np.float32)
+
+
+class DynamicGraphDataset:
+    """On-the-fly extraction at access time (for datasets too big to cache)."""
+
+    def __init__(
+        self,
+        root: str,  # unused; kept for interface parity with StaticGraphDataset
+        A,
+        links,
+        labels,
+        h: int = 1,
+        sample_ratio: float = 1.0,
+        max_nodes_per_hop: Optional[int] = None,
+        u_features=None,
+        v_features=None,
+        class_values=None,
+        max_num: Optional[int] = None,
+        seed: int = 0,
+        backend: str = "auto",
+    ):
+        links, labels = _apply_max_num(links, labels, max_num)
+        self.links = links
+        self.labels = labels
+        self.A = A if isinstance(A, BipartiteCSR) else BipartiteCSR(A)
+        self.h = h
+        self.sample_ratio = sample_ratio
+        self.max_nodes_per_hop = max_nodes_per_hop
+        self.u_features = _densify(u_features)
+        self.v_features = _densify(v_features)
+        self.class_values = class_values
+        self.seed = seed
+        self.backend = backend
+
+    def __len__(self):
+        return len(self.links[0])
+
+    def get(self, i: int) -> Subgraph:
+        rng = np.random.default_rng(np.random.SeedSequence([self.seed, i]))
+        return extract_subgraph(
+            int(self.links[0][i]), int(self.links[1][i]), self.A, self.h,
+            self.sample_ratio, self.max_nodes_per_hop,
+            self.u_features, self.v_features, self.class_values,
+            int(self.labels[i]), rng,
+        )
+
+    def get_many(self, idxs) -> List[Subgraph]:
+        links = (self.links[0][idxs], self.links[1][idxs])
+        return extract_many(
+            links, self.labels[idxs], self.A, self.h, self.sample_ratio,
+            self.max_nodes_per_hop, self.u_features, self.v_features,
+            self.class_values, seed=self.seed, backend=self.backend,
+        )
+
+
+class BatchLoader:
+    """Shuffled, bucketed, prefetching batch iterator.
+
+    Yields GraphBatch with static shapes drawn from geometric ladders, so the
+    number of distinct XLA compilations stays small. `device_put` places each
+    batch according to `sharding` (or the default device) while the host
+    prepares the next one.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        node_ladder: Optional[Sequence[int]] = None,
+        edge_ladder: Optional[Sequence[int]] = None,
+        device_put: bool = True,
+        sharding=None,
+        prefetch: int = 2,
+        drop_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.device_put = device_put
+        self.sharding = sharding
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.epoch = 0
+        if node_ladder is None or edge_ladder is None:
+            nl, el = self._estimate_ladders()
+            node_ladder = node_ladder or nl
+            edge_ladder = edge_ladder or el
+        self.node_ladder = list(node_ladder)
+        self.edge_ladder = list(edge_ladder)
+
+    def _estimate_ladders(self):
+        ds = self.dataset
+        if hasattr(ds, "node_counts"):
+            nc, ec = ds.node_counts(), ds.edge_counts()
+            if len(nc):
+                # Upper-bound one batch by batch_size * a high percentile,
+                # capped by the true max sum (sorted top-k).
+                k = min(self.batch_size, len(nc))
+                max_n = int(np.sort(nc)[-k:].sum())
+                max_e = int(np.sort(ec)[-k:].sum())
+                return (
+                    pad_ladder(max(max_n, 64)),
+                    pad_ladder(max(max_e, 128), base=128),
+                )
+        # Dynamic datasets: sample a few graphs to estimate.
+        n = len(ds)
+        idx = np.linspace(0, n - 1, num=min(64, n), dtype=np.int64)
+        sizes = [(ds.get(int(i)).num_nodes, ds.get(int(i)).num_edges) for i in idx]
+        max_n = max(s[0] for s in sizes) * self.batch_size
+        max_e = max(s[1] for s in sizes) * self.batch_size
+        return pad_ladder(max(max_n, 64)), pad_ladder(max(max_e, 128), base=128)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if not self.shuffle:
+            return np.arange(n, dtype=np.int64)
+        rng = np.random.default_rng(np.random.SeedSequence([self.seed, self.epoch]))
+        return rng.permutation(n).astype(np.int64)
+
+    def _make_batch(self, idxs: np.ndarray) -> GraphBatch:
+        if hasattr(self.dataset, "get_many"):
+            graphs = self.dataset.get_many(idxs)
+        else:
+            graphs = [self.dataset.get(int(i)) for i in idxs]
+        total_n = sum(g.num_nodes for g in graphs)
+        total_e = sum(g.num_edges for g in graphs)
+        node_pad = bucket_for(total_n, self.node_ladder)
+        edge_pad = bucket_for(total_e, self.edge_ladder)
+        return collate(graphs, self.batch_size, node_pad, edge_pad)
+
+    def _produce(self, order: np.ndarray) -> Iterator[GraphBatch]:
+        B = self.batch_size
+        n = len(order)
+        stop = (n // B) * B if self.drop_last else n
+        for s in range(0, stop, B):
+            yield self._make_batch(order[s : s + B])
+
+    def __iter__(self) -> Iterator[GraphBatch]:
+        order = self._order()
+        self.epoch += 1
+        gen = self._produce(order)
+        if self.prefetch <= 0:
+            for b in gen:
+                yield self._put(b)
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _SENTINEL = object()
+        err: List[BaseException] = []
+
+        def worker():
+            try:
+                for b in gen:
+                    q.put(self._put(b))
+            except BaseException as e:  # surface extraction errors in main thread
+                err.append(e)
+            finally:
+                q.put(_SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
+
+    def _put(self, batch: GraphBatch):
+        if not self.device_put:
+            return batch
+        import jax
+
+        if self.sharding is not None:
+            return jax.device_put(batch, self.sharding)
+        return jax.device_put(batch)

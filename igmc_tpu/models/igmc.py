@@ -1,0 +1,313 @@
+"""The IGMC model family as functional JAX models over padded graph batches.
+
+Parity targets (/root/reference/models.py):
+  * IGMC     (:170-217) — 4x basis-RGCN + tanh, layer-concat, TARGET-node
+    readout (target user ++ target item states), optional side features,
+    MLP 2*sum(latent)->128->1 with 0.5 dropout, output scaled by multiply_by.
+  * GNN      (:13-60)  — GCN trunk + global_add_pool readout (base class).
+  * DGCNN    (:63-120) — GCN trunk + SortPooling + 1D convs (AAAI'18).
+  * DGCNN_RS (:123-167) — DGCNN with RGCN trunk.
+
+Design notes (TPU-first, not a translation):
+  * The reference finds target nodes by scanning x[:,0]==1 / x[:,1]==1
+    (/root/reference/models.py:205-207); we carry explicit target indices in
+    the batch and gather — no boolean compaction, static shapes.
+  * Edge dropout operates on the static edge mask (ops/dropout.py).
+  * The reference GNN/DGCNN base forwards crash with a NameError when
+    adj_dropout > 0 (undefined `edge_type`, /root/reference/models.py:39-44);
+    we implement the intended behavior (documented divergence).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..batching.batch import GraphBatch
+from ..ops.dropout import edge_dropout, feature_dropout
+from ..ops.segment import masked_segment_sum
+from ..ops.sort_pool import global_sort_pool
+from .rgcn import (
+    gcn_apply, gcn_init, linear_apply, linear_init, rgcn_apply, rgcn_init,
+    rgcn_relation_weights, _uniform,
+)
+
+
+# ---------------------------------------------------------------------------
+# IGMC
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class IGMCConfig:
+    num_features: int = 4                  # 2h + 2 one-hot node-label dim
+    latent_dim: Tuple[int, ...] = (32, 32, 32, 32)
+    num_relations: int = 5
+    num_bases: int = 4
+    adj_dropout: float = 0.2
+    force_undirected: bool = False
+    side_features: bool = False
+    n_side_features: int = 0
+    multiply_by: float = 1.0
+    conv_strategy: str = "auto"            # rgcn compute strategy
+
+
+def igmc_init(key, cfg: IGMCConfig):
+    keys = jax.random.split(key, len(cfg.latent_dim) + 2)
+    convs = []
+    in_dim = cfg.num_features
+    for i, out_dim in enumerate(cfg.latent_dim):
+        convs.append(
+            rgcn_init(keys[i], in_dim, out_dim, cfg.num_relations, cfg.num_bases)
+        )
+        in_dim = out_dim
+    lin1_in = 2 * sum(cfg.latent_dim) + (
+        cfg.n_side_features if cfg.side_features else 0
+    )
+    return {
+        "convs": convs,
+        "lin1": linear_init(keys[-2], lin1_in, 128),
+        "lin2": linear_init(keys[-1], 128, 1),
+    }
+
+
+def igmc_forward(params, batch: GraphBatch, cfg: IGMCConfig,
+                 key=None, training: bool = False):
+    """Predict a rating per graph in the batch. Returns [B] float32."""
+    N = batch.node_label.shape[0]
+    x = jax.nn.one_hot(batch.node_label, cfg.num_features, dtype=jnp.float32)
+    x = x * batch.node_mask[:, None].astype(jnp.float32)
+
+    emask = batch.edge_mask
+    if training and cfg.adj_dropout > 0:
+        key, k_edge = jax.random.split(key)
+        emask = edge_dropout(k_edge, emask, batch.edge_canon,
+                             cfg.adj_dropout, cfg.force_undirected, training)
+
+    states = []
+    for conv_params in params["convs"]:
+        x = jnp.tanh(
+            rgcn_apply(conv_params, x, batch.edge_src, batch.edge_dst,
+                       batch.edge_type, emask, N, cfg.conv_strategy)
+        )
+        states.append(x)
+    concat_states = jnp.concatenate(states, axis=1)  # [N, sum(latent)]
+
+    h_u = concat_states[batch.target_u]  # [B, sum]
+    h_v = concat_states[batch.target_v]
+    h = jnp.concatenate([h_u, h_v], axis=1)  # [B, 2*sum]
+    if cfg.side_features:
+        h = jnp.concatenate([h, batch.u_feat, batch.v_feat], axis=1)
+
+    h = jax.nn.relu(linear_apply(params["lin1"], h))
+    if training:
+        key, k_drop = jax.random.split(key)
+        h = feature_dropout(k_drop, h, 0.5, training)
+    out = linear_apply(params["lin2"], h)[:, 0]
+    return out * cfg.multiply_by
+
+
+def arr_regularizer(params):
+    """Adjacent-rating regularizer: sum over layers of ||W_{r+1} - W_r||^2.
+
+    Reads (att, basis) exactly as /root/reference/train_eval.py:167-174.
+    """
+    reg = 0.0
+    for conv_params in params["convs"]:
+        w = rgcn_relation_weights(conv_params)  # [R, in, out]
+        reg = reg + jnp.sum((w[1:] - w[:-1]) ** 2)
+    return reg
+
+
+# ---------------------------------------------------------------------------
+# GNN (GCN trunk + sum pool)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class GNNConfig:
+    num_features: int = 4
+    latent_dim: Tuple[int, ...] = (32, 32, 32, 1)
+    adj_dropout: float = 0.2
+    force_undirected: bool = False
+    regression: bool = True
+    num_classes: int = 1
+
+
+def gnn_init(key, cfg: GNNConfig):
+    keys = jax.random.split(key, len(cfg.latent_dim) + 2)
+    convs = []
+    in_dim = cfg.num_features
+    for i, out_dim in enumerate(cfg.latent_dim):
+        convs.append(gcn_init(keys[i], in_dim, out_dim))
+        in_dim = out_dim
+    out_dim_head = 1 if cfg.regression else cfg.num_classes
+    return {
+        "convs": convs,
+        "lin1": linear_init(keys[-2], sum(cfg.latent_dim), 128),
+        "lin2": linear_init(keys[-1], 128, out_dim_head),
+    }
+
+
+def _gcn_trunk(conv_params_list, batch, emask, num_features):
+    N = batch.node_label.shape[0]
+    x = jax.nn.one_hot(batch.node_label, num_features, dtype=jnp.float32)
+    x = x * batch.node_mask[:, None].astype(jnp.float32)
+    states = []
+    for conv_params in conv_params_list:
+        x = jnp.tanh(
+            gcn_apply(conv_params, x, batch.edge_src, batch.edge_dst,
+                      emask, batch.node_mask, N)
+        )
+        states.append(x)
+    return jnp.concatenate(states, axis=1)
+
+
+def gnn_forward(params, batch: GraphBatch, cfg: GNNConfig,
+                key=None, training: bool = False):
+    emask = batch.edge_mask
+    if training and cfg.adj_dropout > 0:
+        key, k_edge = jax.random.split(key)
+        emask = edge_dropout(k_edge, emask, batch.edge_canon,
+                             cfg.adj_dropout, cfg.force_undirected, training)
+    concat_states = _gcn_trunk(params["convs"], batch, emask, cfg.num_features)
+    pooled = masked_segment_sum(
+        concat_states, batch.node2graph, batch.node_mask, batch.num_graphs
+    )
+    h = jax.nn.relu(linear_apply(params["lin1"], pooled))
+    if training:
+        key, k_drop = jax.random.split(key)
+        h = feature_dropout(k_drop, h, 0.5, training)
+    out = linear_apply(params["lin2"], h)
+    if cfg.regression:
+        return out[:, 0]
+    return jax.nn.log_softmax(out, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# DGCNN / DGCNN_RS (SortPool + 1D convs)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class DGCNNConfig:
+    num_features: int = 4
+    latent_dim: Tuple[int, ...] = (32, 32, 32, 1)
+    k: int = 30
+    adj_dropout: float = 0.2
+    force_undirected: bool = False
+    regression: bool = True
+    num_classes: int = 1
+    # RS variant (relational trunk):
+    relational: bool = False
+    num_relations: int = 5
+    num_bases: int = 2
+    conv1d_channels: Tuple[int, int] = (16, 32)
+    conv1d_kw2: int = 5
+
+    @property
+    def total_latent_dim(self) -> int:
+        return sum(self.latent_dim)
+
+    @property
+    def dense_dim(self) -> int:
+        d = int((self.k - 2) / 2 + 1)
+        return (d - self.conv1d_kw2 + 1) * self.conv1d_channels[1]
+
+
+def sortpool_k_from_dataset(node_counts, k_fraction: float) -> int:
+    """Transform a percentile k in (0,1) to a node count (>= 10), as the
+    reference does from the dataset (/root/reference/models.py:70-74)."""
+    node_nums = sorted(int(n) for n in node_counts)
+    k = node_nums[int(math.ceil(k_fraction * len(node_nums))) - 1]
+    return max(10, k)
+
+
+def _conv1d_init(key, in_ch, out_ch, kernel):
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_ch * kernel)
+    return {
+        "weight": _uniform(k1, (out_ch, in_ch, kernel), bound),
+        "bias": _uniform(k2, (out_ch,), bound),
+    }
+
+
+def dgcnn_init(key, cfg: DGCNNConfig):
+    keys = jax.random.split(key, len(cfg.latent_dim) + 4)
+    convs = []
+    in_dim = cfg.num_features
+    for i, out_dim in enumerate(cfg.latent_dim):
+        if cfg.relational:
+            convs.append(
+                rgcn_init(keys[i], in_dim, out_dim, cfg.num_relations,
+                          cfg.num_bases)
+            )
+        else:
+            convs.append(gcn_init(keys[i], in_dim, out_dim))
+        in_dim = out_dim
+    D = cfg.total_latent_dim
+    out_dim_head = 1 if cfg.regression else cfg.num_classes
+    return {
+        "convs": convs,
+        "conv1d_1": _conv1d_init(keys[-4], 1, cfg.conv1d_channels[0], D),
+        "conv1d_2": _conv1d_init(keys[-3], cfg.conv1d_channels[0],
+                                 cfg.conv1d_channels[1], cfg.conv1d_kw2),
+        "lin1": linear_init(keys[-2], cfg.dense_dim, 128),
+        "lin2": linear_init(keys[-1], 128, out_dim_head),
+    }
+
+
+def dgcnn_forward(params, batch: GraphBatch, cfg: DGCNNConfig,
+                  key=None, training: bool = False):
+    N = batch.node_label.shape[0]
+    emask = batch.edge_mask
+    if training and cfg.adj_dropout > 0:
+        key, k_edge = jax.random.split(key)
+        emask = edge_dropout(k_edge, emask, batch.edge_canon,
+                             cfg.adj_dropout, cfg.force_undirected, training)
+
+    if cfg.relational:
+        x = jax.nn.one_hot(batch.node_label, cfg.num_features, dtype=jnp.float32)
+        x = x * batch.node_mask[:, None].astype(jnp.float32)
+        states = []
+        for conv_params in params["convs"]:
+            x = jnp.tanh(
+                rgcn_apply(conv_params, x, batch.edge_src, batch.edge_dst,
+                           batch.edge_type, emask, N)
+            )
+            states.append(x)
+        concat_states = jnp.concatenate(states, axis=1)
+    else:
+        concat_states = _gcn_trunk(params["convs"], batch, emask,
+                                   cfg.num_features)
+
+    B = batch.num_graphs
+    pooled = global_sort_pool(concat_states, batch.node2graph,
+                              batch.node_mask, B, cfg.k)  # [B, k*D]
+    D = cfg.total_latent_dim
+
+    # Conv1d(1, C1, kernel=D, stride=D) == per-slot linear over D channels.
+    xk = pooled.reshape(B, cfg.k, D)
+    w1 = params["conv1d_1"]["weight"][:, 0, :]           # [C1, D]
+    h = jnp.einsum("bkd,od->bok", xk, w1) + params["conv1d_1"]["bias"][None, :, None]
+    h = jax.nn.relu(h)                                   # [B, C1, k]
+    # MaxPool1d(2, 2)
+    k2 = (cfg.k // 2) * 2
+    h = h[:, :, :k2].reshape(B, h.shape[1], k2 // 2, 2).max(axis=-1)
+    # Conv1d(C1, C2, kernel=5, stride=1)
+    h = jax.lax.conv_general_dilated(
+        h, params["conv1d_2"]["weight"], window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    ) + params["conv1d_2"]["bias"][None, :, None]
+    h = jax.nn.relu(h)
+    h = h.reshape(B, -1)
+
+    h = jax.nn.relu(linear_apply(params["lin1"], h))
+    if training:
+        key, k_drop = jax.random.split(key)
+        h = feature_dropout(k_drop, h, 0.5, training)
+    out = linear_apply(params["lin2"], h)
+    if cfg.regression:
+        return out[:, 0]
+    return jax.nn.log_softmax(out, axis=-1)

@@ -1,0 +1,135 @@
+"""Graph convolution layers as functional param pytrees.
+
+`rgcn_apply` reproduces the math of PyG 1.4.2's RGCNConv — the layer the
+reference IGMC stacks four of (/root/reference/models.py:182-184, :200-202):
+
+    W_r  = sum_b att[r, b] * basis[b]                 (basis decomposition)
+    m_e  = x[src_e] @ W_{type_e}                      (per-edge message)
+    out_i = mean_{e: dst_e = i} m_e + x_i @ root + bias
+
+The mean is over ALL incoming edges (PyG 1.4.2 used a single aggr='mean'
+propagate, not per-relation means), and nodes with no incoming edges get 0.
+Parameters `basis`/`att` are exposed so the ARR regularizer can read them
+exactly as the reference does (/root/reference/train_eval.py:167-174).
+
+Two compute strategies, selected by edge/node balance at trace time:
+  * "dispatch": H = einsum(x, W) over all relations — one big MXU matmul of
+    [N, in] x [in, R*out] — then a per-edge gather H[type_e, src_e].
+    FLOPs ~ N*in*R*out; wins when E >> N*R / (modest R).
+  * "per-edge": gather x[src], batched tiny matmuls per edge.
+    FLOPs ~ E*in*out; wins for very large R (yahoo_music R=71) with small E.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.segment import masked_segment_mean
+
+
+# ---------------------------------------------------------------------------
+# init helpers (torch-parity distributions)
+# ---------------------------------------------------------------------------
+
+def _uniform(key, shape, bound):
+    return jax.random.uniform(key, shape, minval=-bound, maxval=bound,
+                              dtype=jnp.float32)
+
+
+def rgcn_init(key, in_channels: int, out_channels: int, num_relations: int,
+              num_bases: int):
+    """PyG-1.4.2 init: every tensor ~ U(±1/sqrt(num_bases * in_channels))."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    bound = 1.0 / math.sqrt(num_bases * in_channels)
+    return {
+        "basis": _uniform(k1, (num_bases, in_channels, out_channels), bound),
+        "att": _uniform(k2, (num_relations, num_bases), bound),
+        "root": _uniform(k3, (in_channels, out_channels), bound),
+        "bias": _uniform(k4, (out_channels,), bound),
+    }
+
+
+def rgcn_relation_weights(params):
+    """W_r = att @ basis, shape [R, in, out] (what ARR regularizes)."""
+    R, B = params["att"].shape
+    _, i, o = params["basis"].shape
+    w = params["att"] @ params["basis"].reshape(B, i * o)
+    return w.reshape(R, i, o)
+
+
+def rgcn_apply(params, x, edge_src, edge_dst, edge_type, edge_mask,
+               num_nodes: int, strategy: str = "auto"):
+    """Relational graph convolution over a padded edge list."""
+    w = rgcn_relation_weights(params)  # [R, in, out]
+    R, Cin, Cout = w.shape
+    E = edge_src.shape[0]
+
+    if strategy == "auto":
+        # dispatch costs N*R*Cin*Cout MACs, per-edge costs E*Cin*Cout.
+        strategy = "dispatch" if E >= num_nodes * R // 4 else "per-edge"
+
+    if strategy == "dispatch":
+        # One MXU-sized matmul for every relation's transform of every node.
+        h = jnp.einsum("ni,rio->rno", x, w,
+                       preferred_element_type=jnp.float32)  # [R, N, out]
+        msg = h[edge_type, edge_src]  # [E, out]
+    else:
+        xs = x[edge_src]              # [E, in]
+        we = w[edge_type]             # [E, in, out]
+        msg = jnp.einsum("ei,eio->eo", xs, we,
+                         preferred_element_type=jnp.float32)
+
+    aggr = masked_segment_mean(msg, edge_dst, edge_mask, num_nodes)
+    out = aggr + x @ params["root"] + params["bias"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Plain GCN conv (for the GNN / DGCNN variants, /root/reference/models.py:13-120)
+# ---------------------------------------------------------------------------
+
+def gcn_init(key, in_channels: int, out_channels: int):
+    """PyG GCNConv init: glorot weight, zero bias."""
+    k1, _ = jax.random.split(key)
+    bound = math.sqrt(6.0 / (in_channels + out_channels))
+    return {
+        "weight": _uniform(k1, (in_channels, out_channels), bound),
+        "bias": jnp.zeros((out_channels,), jnp.float32),
+    }
+
+
+def gcn_apply(params, x, edge_src, edge_dst, edge_mask, node_mask,
+              num_nodes: int):
+    """GCN with added self-loops and symmetric D^-1/2 (A+I) D^-1/2 norm."""
+    h = x @ params["weight"]
+    em = edge_mask.astype(h.dtype)
+    nm = node_mask.astype(h.dtype)
+    # degree including self-loop, counting only real edges/nodes
+    deg = jax.ops.segment_sum(em, edge_dst, num_segments=num_nodes) + nm
+    dinv = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+    coef = dinv[edge_src] * dinv[edge_dst] * em
+    agg = jax.ops.segment_sum(h[edge_src] * coef[:, None], edge_dst,
+                              num_segments=num_nodes)
+    self_loop = h * (dinv * dinv * nm)[:, None]
+    return agg + self_loop + params["bias"]
+
+
+# ---------------------------------------------------------------------------
+# Dense layers (torch.nn.Linear parity)
+# ---------------------------------------------------------------------------
+
+def linear_init(key, in_features: int, out_features: int):
+    """torch.nn.Linear default init: U(±1/sqrt(fan_in)) for weight and bias."""
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_features)
+    return {
+        "weight": _uniform(k1, (in_features, out_features), bound),
+        "bias": _uniform(k2, (out_features,), bound),
+    }
+
+
+def linear_apply(params, x):
+    return x @ params["weight"] + params["bias"]

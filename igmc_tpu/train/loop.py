@@ -1,0 +1,280 @@
+"""Jitted training/evaluation loops: MSE + ARR loss, step LR decay, ensembling.
+
+Parity targets (/root/reference/train_eval.py):
+  * train_multiple_epochs (:23-111) — Adam, per-epoch train + periodic RMSE
+    eval, manual step LR decay (x factor every `lr_decay_step_size` epochs),
+    resume from checkpoint, per-epoch logger callback.
+  * train (:149-179) — per-batch loss = mean MSE over the batch's graphs
+    + ARR * sum-of-squared adjacent-relation weight diffs (per batch);
+    epoch train_loss = sum(batch_loss * num_graphs) / len(dataset).
+  * eval_rmse (:182-205) — RMSE = sqrt(sum of squared errors / dataset size).
+  * eval_rmse_ensemble (:208-245) — average raw PREDICTIONS over k
+    checkpoints, then one RMSE of the mean.
+
+TPU design: the step is one jit (forward + backward + Adam update) with
+donated params/opt-state, retraced only per padded batch shape (the bucket
+ladder keeps that count small). The learning rate is an injected hyperparam
+mutated at epoch boundaries — no recompilation on decay.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..batching.dataset import BatchLoader
+from ..models.igmc import arr_regularizer
+from .checkpoints import checkpoint_path, load_checkpoint, save_checkpoint
+
+
+@dataclass
+class TrainState:
+    params: dict
+    opt_state: optax.OptState
+    epoch: int = 0
+
+
+def make_optimizer(lr: float, weight_decay: float = 0.0):
+    if weight_decay > 0:
+        tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=lr, weight_decay=weight_decay
+        )
+    else:
+        tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+    return tx
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Mutate the injected learning rate (host-side, between epochs)."""
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+    return opt_state
+
+
+def get_learning_rate(opt_state) -> float:
+    return float(opt_state.hyperparams["learning_rate"])
+
+
+def make_train_step(forward: Callable, optimizer, ARR: float = 0.0,
+                    with_arr_params: bool = True):
+    """Build the jitted (params, opt_state, batch, key) -> updated step.
+
+    `forward(params, batch, key, training)` returns per-graph predictions [B].
+    """
+
+    def loss_fn(params, batch, key):
+        preds = forward(params, batch, key=key, training=True)
+        gmask = batch.graph_mask.astype(jnp.float32)
+        n = jnp.maximum(gmask.sum(), 1.0)
+        mse = jnp.sum(((preds - batch.y) ** 2) * gmask) / n
+        loss = mse
+        if ARR != 0.0 and with_arr_params:
+            loss = loss + ARR * arr_regularizer(params)
+        return loss, n
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch, key):
+        (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, key
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, n
+
+    return step
+
+
+def make_eval_step(forward: Callable):
+    """Jitted eval: returns (squared-error sum, count, raw predictions)."""
+
+    @jax.jit
+    def step(params, batch):
+        preds = forward(params, batch, key=None, training=False)
+        gmask = batch.graph_mask.astype(jnp.float32)
+        sse = jnp.sum(((preds - batch.y) ** 2) * gmask)
+        return sse, gmask.sum(), preds
+
+    return step
+
+
+def train_epoch(step_fn, state: TrainState, loader: BatchLoader, key,
+                dataset_size: int):
+    """One pass over the training data; returns reference-style train loss."""
+    total = 0.0
+    params, opt_state = state.params, state.opt_state
+    for i, batch in enumerate(loader):
+        k = jax.random.fold_in(key, i)
+        params, opt_state, loss, n = step_fn(params, opt_state, batch, k)
+        total += float(loss) * float(n)
+    state.params, state.opt_state = params, opt_state
+    return total / max(dataset_size, 1)
+
+
+def eval_rmse(eval_fn, params, loader: BatchLoader) -> float:
+    sse = 0.0
+    cnt = 0.0
+    for batch in loader:
+        s, c, _ = eval_fn(params, batch)
+        sse += float(s)
+        cnt += float(c)
+    return math.sqrt(sse / max(cnt, 1.0))
+
+
+def predict_all(eval_fn, params, loader: BatchLoader):
+    """Raw predictions + targets over a fixed-order loader (for ensembling)."""
+    preds, ys = [], []
+    for batch in loader:
+        _, _, p = eval_fn(params, batch)
+        gmask = np.asarray(batch.graph_mask)
+        preds.append(np.asarray(p)[gmask])
+        ys.append(np.asarray(batch.y)[gmask])
+    return np.concatenate(preds), np.concatenate(ys)
+
+
+def eval_rmse_ensemble(eval_fn, params_template, checkpoints,
+                       loader: BatchLoader) -> float:
+    """Average raw predictions across checkpoints, then one RMSE
+    (/root/reference/train_eval.py:208-245)."""
+    outs = []
+    ys = None
+    for ckpt in checkpoints:
+        params = load_checkpoint(ckpt, params_template)
+        p, y = predict_all(eval_fn, params, loader)
+        outs.append(p)
+        if ys is None:
+            ys = y
+    mean_pred = np.stack(outs, axis=1).mean(axis=1)
+    return math.sqrt(float(np.mean((mean_pred - ys) ** 2)))
+
+
+def train_multiple_epochs(
+    train_dataset,
+    test_dataset,
+    forward: Callable,
+    init_params: dict,
+    epochs: int,
+    batch_size: int,
+    lr: float,
+    lr_decay_factor: float,
+    lr_decay_step_size: int,
+    weight_decay: float = 0.0,
+    ARR: float = 0.0,
+    test_freq: int = 1,
+    logger: Optional[Callable] = None,
+    continue_from: Optional[int] = None,
+    res_dir: Optional[str] = None,
+    seed: int = 1,
+    sharding=None,
+    num_graphs_pad: Optional[int] = None,
+    progress: bool = True,
+):
+    """Full training run; returns the final test RMSE."""
+    optimizer = make_optimizer(lr, weight_decay)
+    params = init_params
+    opt_state = optimizer.init(params)
+    state = TrainState(params=params, opt_state=opt_state)
+
+    train_loader = BatchLoader(
+        train_dataset, batch_size, shuffle=True, seed=seed, sharding=sharding
+    )
+    test_loader = BatchLoader(
+        test_dataset, batch_size, shuffle=False, sharding=sharding,
+        node_ladder=None, edge_ladder=None,
+    )
+
+    step_fn = make_train_step(forward, optimizer, ARR)
+    eval_fn = make_eval_step(forward)
+
+    start_epoch = 1
+    if continue_from is not None:
+        state.params = load_checkpoint(
+            checkpoint_path(res_dir, "model", continue_from), state.params
+        )
+        state.opt_state = load_checkpoint(
+            checkpoint_path(res_dir, "optimizer", continue_from), state.opt_state
+        )
+        start_epoch = continue_from + 1
+        epochs -= continue_from
+
+    key = jax.random.PRNGKey(seed)
+    rmses = []
+    t_start = time.perf_counter()
+    epoch_iter = range(start_epoch, epochs + start_epoch)
+    pbar = None
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            pbar = tqdm(epoch_iter)
+            epoch_iter = pbar
+        except ImportError:
+            pass
+
+    for epoch in epoch_iter:
+        epoch_key = jax.random.fold_in(key, epoch)
+        train_loss = train_epoch(
+            step_fn, state, train_loader, epoch_key, len(train_dataset)
+        )
+        if epoch % test_freq == 0:
+            rmses.append(eval_rmse(eval_fn, state.params, test_loader))
+        else:
+            rmses.append(float("nan"))
+        state.epoch = epoch
+
+        info = {"epoch": epoch, "train_loss": train_loss, "test_rmse": rmses[-1]}
+        msg = "Epoch {}, train loss {:.6f}, test rmse {:.6f}".format(
+            *info.values()
+        )
+        if pbar is not None:
+            pbar.set_description(msg)
+        else:
+            print(msg)
+
+        # Manual step decay, matching /root/reference/train_eval.py:94-96.
+        if epoch % lr_decay_step_size == 0:
+            state.opt_state = set_learning_rate(
+                state.opt_state, lr_decay_factor * get_learning_rate(state.opt_state)
+            )
+
+        if logger is not None:
+            logger(info, state)
+
+    duration = time.perf_counter() - t_start
+    print("Final Test RMSE: {:.6f}, Duration: {:.6f}".format(rmses[-1], duration))
+    return rmses[-1], state
+
+
+def test_once(
+    test_dataset,
+    forward: Callable,
+    params_template: dict,
+    batch_size: int,
+    params: Optional[dict] = None,
+    logger: Optional[Callable] = None,
+    ensemble: bool = False,
+    checkpoints=None,
+    sharding=None,
+):
+    """Evaluate once — single params or a prediction-averaged ensemble."""
+    loader = BatchLoader(test_dataset, batch_size, shuffle=False,
+                         sharding=sharding)
+    eval_fn = make_eval_step(forward)
+    t_start = time.perf_counter()
+    if ensemble and checkpoints:
+        rmse = eval_rmse_ensemble(eval_fn, params_template, checkpoints, loader)
+    else:
+        rmse = eval_rmse(eval_fn, params if params is not None else params_template,
+                         loader)
+    duration = time.perf_counter() - t_start
+    print("Test Once RMSE: {:.6f}, Duration: {:.6f}".format(rmse, duration))
+    if logger is not None:
+        epoch_info = "test_once" if not ensemble else "ensemble"
+        logger({"epoch": epoch_info, "train_loss": 0, "test_rmse": rmse}, None)
+    return rmse

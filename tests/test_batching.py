@@ -1,0 +1,136 @@
+"""Batching/padding invariance tests."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from igmc_tpu.graphs import BipartiteCSR, extract_many
+from igmc_tpu.batching import collate, bucket_for, pad_ladder
+from igmc_tpu.batching.dataset import StaticGraphDataset, BatchLoader
+
+
+def make_graphs(n=6, seed=0):
+    rng = np.random.default_rng(seed)
+    M = (rng.random((15, 15)) < 0.5).astype(np.float32) * rng.integers(
+        1, 6, (15, 15)
+    ).astype(np.float32)
+    A = BipartiteCSR(sp.csr_matrix(M))
+    us, vs = np.nonzero(M)
+    labels = (M[us, vs] - 1).astype(np.int64)
+    cv = np.arange(1.0, 6.0)
+    return extract_many((us[:n], vs[:n]), labels[:n], A, h=1,
+                        class_values=cv, backend="numpy"), M
+
+
+def test_collate_shapes_and_masks():
+    graphs, _ = make_graphs(4)
+    total_n = sum(g.num_nodes for g in graphs)
+    total_e = sum(g.num_edges for g in graphs)
+    b = collate(graphs, num_graphs=6, node_pad=total_n + 10, edge_pad=total_e + 8)
+    assert b.node_mask.sum() == total_n
+    assert b.edge_mask.sum() == total_e
+    assert b.graph_mask.sum() == 4
+    # every real edge endpoint is a real node of the same graph
+    em = b.edge_mask
+    assert (b.node2graph[b.edge_src[em]] == b.node2graph[b.edge_dst[em]]).all()
+    # targets are real nodes with labels 0 (user) and 1 (item)
+    gm = b.graph_mask
+    assert (b.node_label[b.target_u[gm]] == 0).all()
+    assert (b.node_label[b.target_v[gm]] == 1).all()
+
+
+def test_collate_edge_canon_pairs():
+    graphs, _ = make_graphs(3)
+    b = collate(graphs, 3, 200, 400)
+    em = np.asarray(b.edge_mask)
+    canon = np.asarray(b.edge_canon)
+    src, dst = np.asarray(b.edge_src), np.asarray(b.edge_dst)
+    for e in np.nonzero(em)[0]:
+        c = canon[e]
+        # canonical edge is the forward copy: same pair, maybe swapped
+        assert {src[e], dst[e]} == {src[c], dst[c]}
+        assert em[c]
+
+
+def test_collate_overflow_raises():
+    graphs, _ = make_graphs(4)
+    with pytest.raises(ValueError):
+        collate(graphs, 4, 2, 2)
+
+
+def test_bucket_ladder():
+    ladder = pad_ladder(1000, base=64)
+    assert ladder[0] == 64 and ladder[-1] >= 1000
+    assert bucket_for(65, ladder) >= 65
+    assert bucket_for(1, ladder) == 64
+    # all sizes multiple of 8 (TPU sublane alignment)
+    assert all(s % 8 == 0 for s in ladder)
+
+
+def test_static_dataset_cache_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    M = (rng.random((12, 12)) < 0.5).astype(np.float32) * rng.integers(
+        1, 4, (12, 12)
+    ).astype(np.float32)
+    A = sp.csr_matrix(M)
+    us, vs = np.nonzero(M)
+    labels = (M[us, vs] - 1).astype(np.int64)
+    cv = np.arange(1.0, 4.0)
+    root = str(tmp_path / "ds")
+    ds1 = StaticGraphDataset(root, A, (us, vs), labels, h=1, class_values=cv,
+                             backend="numpy")
+    ds2 = StaticGraphDataset(root, A, (us, vs), labels, h=1, class_values=cv,
+                             backend="numpy")  # loads from cache
+    assert len(ds1) == len(ds2) == len(us)
+    for i in (0, len(ds1) - 1):
+        g1, g2 = ds1.get(i), ds2.get(i)
+        np.testing.assert_array_equal(g1.src, g2.src)
+        np.testing.assert_array_equal(g1.node_label, g2.node_label)
+        assert g1.y == g2.y
+
+
+def test_max_num_subsample_seed123(tmp_path):
+    # The max_num subsample must use np.random.seed(123) permutation
+    # (/root/reference/util_functions.py:84-90).
+    rng = np.random.default_rng(3)
+    M = (rng.random((12, 12)) < 0.6).astype(np.float32) * rng.integers(
+        1, 4, (12, 12)
+    ).astype(np.float32)
+    A = sp.csr_matrix(M)
+    us, vs = np.nonzero(M)
+    labels = (M[us, vs] - 1).astype(np.int64)
+    cv = np.arange(1.0, 4.0)
+    ds = StaticGraphDataset(str(tmp_path / "d"), A, (us, vs), labels, h=1,
+                            class_values=cv, max_num=5, backend="numpy")
+    assert len(ds) == 5
+    np.random.seed(123)
+    perm = np.random.permutation(len(us))[:5]
+    expected_y = cv[labels[perm]]
+    np.testing.assert_allclose(ds.packed.y, expected_y.astype(np.float32))
+
+
+def test_batch_loader_covers_dataset(tmp_path):
+    rng = np.random.default_rng(5)
+    M = (rng.random((12, 12)) < 0.6).astype(np.float32) * rng.integers(
+        1, 4, (12, 12)
+    ).astype(np.float32)
+    A = sp.csr_matrix(M)
+    us, vs = np.nonzero(M)
+    labels = (M[us, vs] - 1).astype(np.int64)
+    cv = np.arange(1.0, 4.0)
+    ds = StaticGraphDataset(str(tmp_path / "d"), A, (us, vs), labels, h=1,
+                            class_values=cv, backend="numpy")
+    loader = BatchLoader(ds, batch_size=4, shuffle=True, seed=1,
+                         device_put=False)
+    seen = 0
+    ys = []
+    for b in loader:
+        seen += int(b.graph_mask.sum())
+        ys.append(np.asarray(b.y)[np.asarray(b.graph_mask)])
+    assert seen == len(ds)
+    # shuffled epoch 2 differs from epoch 1 but covers the same multiset
+    ys2 = []
+    for b in loader:
+        ys2.append(np.asarray(b.y)[np.asarray(b.graph_mask)])
+    a, c = np.concatenate(ys), np.concatenate(ys2)
+    assert sorted(a.tolist()) == sorted(c.tolist())

@@ -1,0 +1,131 @@
+"""Multi-device data-parallel tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from igmc_tpu.graphs import BipartiteCSR, extract_many
+from igmc_tpu.batching import collate, pad_ladder
+from igmc_tpu.models import IGMCConfig, igmc_init, igmc_forward
+from igmc_tpu.parallel import (
+    make_mesh, batch_sharding, replicated_sharding,
+    make_dp_train_step, make_dp_eval_step, split_for_devices,
+)
+from igmc_tpu.train.loop import make_optimizer, make_train_step, make_eval_step
+
+
+def make_graphs(n, seed=0):
+    rng = np.random.default_rng(seed)
+    M = (rng.random((25, 25)) < 0.4).astype(np.float32) * rng.integers(
+        1, 6, (25, 25)
+    ).astype(np.float32)
+    A = BipartiteCSR(sp.csr_matrix(M))
+    us, vs = np.nonzero(M)
+    labels = (M[us, vs] - 1).astype(np.int64)
+    cv = np.arange(1.0, 6.0)
+    return extract_many((us[:n], vs[:n]), labels[:n], A, h=1,
+                        class_values=cv, backend="numpy")
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_dp_eval_matches_single_device():
+    graphs = make_graphs(16)
+    cfg = IGMCConfig(num_relations=5, num_bases=2, adj_dropout=0.0)
+    params = igmc_init(jax.random.PRNGKey(0), cfg)
+    fwd = lambda p, b, key=None, training=False: igmc_forward(
+        p, b, cfg, key, training
+    )
+
+    # single-device flat batch
+    total_n = sum(g.num_nodes for g in graphs)
+    total_e = sum(g.num_edges for g in graphs)
+    flat = collate(graphs, 16, total_n + 8, total_e + 8)
+    eval_flat = make_eval_step(fwd)
+    sse1, n1, _ = eval_flat(params, jax.device_put(flat))
+
+    # 8-device stacked batch
+    mesh = make_mesh(n_data=8)
+    nl, el = pad_ladder(total_n), pad_ladder(total_e, base=128)
+    stacked = split_for_devices(graphs, 8, 2, nl, el)
+    bshd = batch_sharding(mesh)
+    pshd = replicated_sharding(mesh)
+    stacked = jax.device_put(stacked, bshd)
+    params_r = jax.device_put(params, pshd)
+    eval_dp = make_dp_eval_step(fwd, mesh, bshd, pshd)
+    sse8, n8, _ = eval_dp(params_r, stacked)
+
+    assert float(n1) == float(n8) == 16
+    np.testing.assert_allclose(float(sse1), float(sse8), rtol=1e-4)
+
+
+def test_dp_train_step_matches_single_device_grads():
+    # One DP step (8 devices) must produce the same params as one flat step
+    # with the same effective batch and no dropout.
+    graphs = make_graphs(16, seed=2)
+    cfg = IGMCConfig(num_relations=5, num_bases=2, adj_dropout=0.0)
+    params = igmc_init(jax.random.PRNGKey(1), cfg)
+    # Deterministic forward (no edge/head dropout) so flat and DP draw no
+    # random masks and must agree bit-for-bit up to reduction order.
+    fwd = lambda p, b, key=None, training=False: igmc_forward(
+        p, b, cfg, key, training=False
+    )
+    opt = make_optimizer(1e-3)
+
+    total_n = sum(g.num_nodes for g in graphs)
+    total_e = sum(g.num_edges for g in graphs)
+    flat = collate(graphs, 16, total_n + 8, total_e + 8)
+    step1 = make_train_step(fwd, opt, ARR=0.001)
+    key = jax.random.PRNGKey(0)
+    p1, _, loss1, _ = step1(
+        jax.tree_util.tree_map(jnp.copy, params), opt.init(params),
+        jax.device_put(flat), key,
+    )
+
+    mesh = make_mesh(n_data=8)
+    nl, el = pad_ladder(total_n), pad_ladder(total_e, base=128)
+    stacked = split_for_devices(graphs, 8, 2, nl, el)
+    bshd = batch_sharding(mesh)
+    pshd = replicated_sharding(mesh)
+    step8 = make_dp_train_step(fwd, opt, 0.001, mesh, bshd, pshd)
+    p8, _, loss8, _ = step8(
+        jax.device_put(jax.tree_util.tree_map(jnp.copy, params), pshd),
+        jax.device_put(opt.init(params), pshd),
+        jax.device_put(stacked, bshd), key,
+    )
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-6)
+
+
+def test_dp_loss_decreases():
+    graphs = make_graphs(32, seed=3)
+    cfg = IGMCConfig(num_relations=5, num_bases=2, adj_dropout=0.2)
+    params = igmc_init(jax.random.PRNGKey(2), cfg)
+    fwd = lambda p, b, key=None, training=False: igmc_forward(
+        p, b, cfg, key, training
+    )
+    opt = make_optimizer(1e-2)
+    mesh = make_mesh(n_data=8)
+    total_n = sum(g.num_nodes for g in graphs)
+    total_e = sum(g.num_edges for g in graphs)
+    nl, el = pad_ladder(total_n), pad_ladder(total_e, base=128)
+    stacked = split_for_devices(graphs, 8, 4, nl, el)
+    bshd = batch_sharding(mesh)
+    pshd = replicated_sharding(mesh)
+    step = make_dp_train_step(fwd, opt, 0.0, mesh, bshd, pshd)
+    p = jax.device_put(params, pshd)
+    s = jax.device_put(opt.init(params), pshd)
+    batch = jax.device_put(stacked, bshd)
+    losses = []
+    for i in range(20):
+        p, s, loss, _ = step(p, s, batch, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7
