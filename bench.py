@@ -1,0 +1,94 @@
+"""Benchmark: R-GCN aggregate throughput (edges/sec/chip) on the real device.
+
+The north-star metric from BASELINE.json: edges/sec/chip on the R-GCN
+aggregate (gather -> per-relation transform -> scatter-mean), the hot kernel
+of IGMC's forward (/root/reference/models.py:200-202). The reference has no
+machine-readable baseline (BASELINE.json published: {}), so `vs_baseline`
+reports the fraction of the HBM-bandwidth roofline achieved on this chip —
+BASELINE.json's own target is >= 80% of SpMM roofline (vs_baseline >= 0.8).
+
+Roofline model (v5e, ~819 GB/s HBM): the aggregate is memory-bound. Per
+directed edge the minimum traffic is:
+  gather 4*C bytes of source features + scatter-accumulate 2*4*C bytes
+  (read+write) + 3 int32 indices = 12 bytes        (C = feature width, 32)
+  => ~396 bytes/edge  =>  roofline ~2.07e9 edges/s.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def hbm_bandwidth_bytes_per_sec(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 819e9
+    if "v5p" in kind or "v5" in kind:
+        return 2765e9
+    if "v4" in kind:
+        return 1228e9
+    if "v6" in kind or "trillium" in kind:
+        return 1640e9
+    return 819e9  # conservative default
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_batch
+    from igmc_tpu.models import IGMCConfig, igmc_forward, igmc_init
+    from igmc_tpu.train.loop import make_optimizer, make_train_step
+
+    dev = jax.devices()[0]
+    C = 32
+    NODE_PAD, EDGE_PAD, B = 8192, 65536, 128
+    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0)
+    params = igmc_init(jax.random.PRNGKey(0), cfg)
+    batch = _synthetic_batch(num_graphs=B, node_pad=NODE_PAD,
+                             edge_pad=EDGE_PAD, num_relations=5)
+    batch = jax.device_put(batch)
+    params = jax.device_put(params)
+
+    fwd = lambda p, b, key=None, training=False: igmc_forward(
+        p, b, cfg, key, training)
+
+    # Forward pass over the 4-layer trunk: 4 * EDGE_PAD edge-aggregations.
+    f = jax.jit(lambda p, b: fwd(p, b))
+    out = f(params, batch)
+    jax.block_until_ready(out)
+    n_iter = 50
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = f(params, batch)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iter
+    edges_processed = 4 * EDGE_PAD  # 4 R-GCN layers per forward
+    eps = edges_processed / dt
+
+    bw = hbm_bandwidth_bytes_per_sec(dev)
+    bytes_per_edge = 4 * C + 2 * 4 * C + 12
+    roofline = bw / bytes_per_edge
+
+    result = {
+        "metric": "rgcn_aggregate_edges_per_sec_per_chip",
+        "value": round(eps, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(eps / roofline, 4),
+        "detail": {
+            "device": str(dev.device_kind),
+            "forward_ms": round(dt * 1e3, 3),
+            "node_pad": NODE_PAD, "edge_pad": EDGE_PAD, "batch_graphs": B,
+            "layers": 4, "feature_width": C,
+            "roofline_edges_per_sec": round(roofline, 1),
+            "baseline_semantics": "fraction of HBM roofline (target >= 0.8)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,357 @@
+"""Experiment driver — flag-compatible with the reference CLI.
+
+Reproduces the argparse surface of /root/reference/Main.py:49-136 (typed
+values, no eval()-dispatched class names), the rating_map/post_rating_map
+subsystem (:153-177), results-dir management with cmd_input.txt (:183-210),
+dataset construction (:296-350), model build (:361-400), training dispatch
+(:405-421) and the ensemble / transfer / visualization branches (:423-479).
+
+Known reference quirks intentionally fixed (documented divergences):
+  * plain transfer eval used a nonexistent `args.epoch` and crashed
+    (/root/reference/Main.py:471) — we report the checkpoint epoch.
+  * `--dynamic-dataset` (passed by run_transfer_exps.sh but absent from the
+    reference parser) is accepted as an alias for --dynamic-train
+    --dynamic-test --dynamic-val.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+from shutil import rmtree
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native Inductive Graph-based Matrix Completion"
+    )
+    # general settings
+    p.add_argument("--testing", action="store_true", default=False,
+                   help="split all ratings into train/test (no val split)")
+    p.add_argument("--no-train", action="store_true", default=False,
+                   help="skip training; go straight to transfer/ensemble/visualization")
+    p.add_argument("--debug", action="store_true", default=False,
+                   help="use a small number of data for debugging")
+    p.add_argument("--data-name", default="ml_100k", help="dataset name")
+    p.add_argument("--data-appendix", default="",
+                   help="appendix to dataset save-names")
+    p.add_argument("--save-appendix", default="",
+                   help="appendix to result save-names")
+    p.add_argument("--max-train-num", type=int, default=None)
+    p.add_argument("--max-val-num", type=int, default=None)
+    p.add_argument("--max-test-num", type=int, default=None)
+    p.add_argument("--seed", type=int, default=1, metavar="S")
+    p.add_argument("--data-seed", type=int, default=1234, metavar="S",
+                   help="data shuffle seed (ml_1m/ml_10m only)")
+    p.add_argument("--reprocess", action="store_true", default=False,
+                   help="reprocess data instead of using cached artifacts")
+    p.add_argument("--dynamic-train", action="store_true", default=False)
+    p.add_argument("--dynamic-test", action="store_true", default=False)
+    p.add_argument("--dynamic-val", action="store_true", default=False)
+    p.add_argument("--dynamic-dataset", action="store_true", default=False,
+                   help="alias: all three --dynamic-* flags")
+    p.add_argument("--keep-old", action="store_true", default=False)
+    p.add_argument("--save-interval", type=int, default=10)
+    # subgraph extraction settings
+    p.add_argument("--hop", type=int, default=1)
+    p.add_argument("--sample-ratio", type=float, default=1.0)
+    p.add_argument("--max-nodes-per-hop", type=int, default=10000)
+    p.add_argument("--use-features", action="store_true", default=False)
+    # edge dropout settings
+    p.add_argument("--adj-dropout", type=float, default=0.2)
+    p.add_argument("--force-undirected", action="store_true", default=False)
+    # optimization settings
+    p.add_argument("--continue-from", type=int, default=None)
+    p.add_argument("--lr", type=float, default=1e-3, metavar="LR")
+    p.add_argument("--lr-decay-step-size", type=int, default=50)
+    p.add_argument("--lr-decay-factor", type=float, default=0.1)
+    p.add_argument("--epochs", type=int, default=80, metavar="N")
+    p.add_argument("--batch-size", type=int, default=50, metavar="N")
+    p.add_argument("--test-freq", type=int, default=1, metavar="N")
+    p.add_argument("--ARR", type=float, default=0.001,
+                   help="adjacent-rating regularizer weight")
+    # transfer / ensemble / visualization
+    p.add_argument("--transfer", default="",
+                   help="path with pretrained checkpoints to transfer from")
+    p.add_argument("--num-relations", type=int, default=5)
+    p.add_argument("--multiply-by", type=float, default=1)
+    p.add_argument("--visualize", action="store_true", default=False)
+    p.add_argument("--ensemble", action="store_true", default=False)
+    p.add_argument("--standard-rating", action="store_true", default=False)
+    # sparsity experiments
+    p.add_argument("--ratio", type=float, default=1.0)
+    # TPU-native extensions
+    p.add_argument("--model", default="igmc",
+                   choices=["igmc", "gnn", "dgcnn", "dgcnn_rs"],
+                   help="model family (reference default: IGMC)")
+    p.add_argument("--n-devices", type=int, default=0,
+                   help="data-parallel devices (0 = single device)")
+    p.add_argument("--extract-backend", default="auto",
+                   choices=["auto", "numpy", "native"],
+                   help="subgraph extraction engine")
+    p.add_argument("--profile-dir", default="",
+                   help="if set, write a jax.profiler trace of one epoch here")
+    return p
+
+
+def rating_maps(args):
+    """rating_map (--standard-rating) and post_rating_map (transfer bucketing),
+    mirroring /root/reference/Main.py:153-177."""
+    rating_map, post_rating_map = None, None
+    if args.standard_rating:
+        if args.data_name in ("flixster", "ml_10m"):  # 0.5, 1, ..., 5
+            rating_map = {x: int(math.ceil(x))
+                          for x in np.arange(0.5, 5.01, 0.5).tolist()}
+        elif args.data_name == "yahoo_music":  # 1..100
+            rating_map = {x: (x - 1) // 20 + 1 for x in range(1, 101)}
+    if args.transfer:
+        if args.data_name in ("flixster", "ml_10m"):
+            post_rating_map = {
+                x: int(i // (10 / args.num_relations))
+                for i, x in enumerate(np.arange(0.5, 5.01, 0.5).tolist())
+            }
+        elif args.data_name == "yahoo_music":
+            post_rating_map = {
+                x: int(i // (100 / args.num_relations))
+                for i, x in enumerate(np.arange(1, 101).tolist())
+            }
+        else:  # standard 1..5 ratings
+            post_rating_map = {
+                x: int(i // (5 / args.num_relations))
+                for i, x in enumerate(np.arange(1, 6).tolist())
+            }
+    return rating_map, post_rating_map
+
+
+def load_split(args, rating_map, post_rating_map):
+    from ..data import (create_trainvaltest_split, load_data_monti,
+                        load_official_trainvaltest_split)
+
+    if args.data_name in ("flixster", "douban", "yahoo_music"):
+        return load_data_monti(args.data_name, args.testing, rating_map,
+                               post_rating_map)
+    if args.data_name == "ml_100k":
+        print("Using official MovieLens split u1.base/u1.test with 20% validation...")
+        return load_official_trainvaltest_split(
+            args.data_name, args.testing, rating_map, post_rating_map, args.ratio
+        )
+    # ml_1m / ml_10m / ml_25m: random split with pickle cache
+    if args.use_features:
+        datasplit_path = os.path.join(
+            "raw_data", args.data_name,
+            f"withfeatures_split_seed{args.data_seed}.pickle",
+        )
+    else:
+        datasplit_path = os.path.join(
+            "raw_data", args.data_name, f"split_seed{args.data_seed}.pickle"
+        )
+    return create_trainvaltest_split(
+        args.data_name, args.data_seed, args.testing, datasplit_path,
+        not args.reprocess, True, rating_map, post_rating_map, args.ratio,
+    )
+
+
+def build_datasets(args, split):
+    from ..batching import DynamicGraphDataset, StaticGraphDataset
+    from ..graphs import BipartiteCSR
+
+    if args.dynamic_dataset:
+        args.dynamic_train = args.dynamic_test = args.dynamic_val = True
+
+    u_features = v_features = None
+    n_features = 0
+    if args.use_features:
+        u_features = split.u_features.toarray()
+        v_features = split.v_features.toarray()
+        n_features = u_features.shape[1] + v_features.shape[1]
+        print("Number of user features {}, item features {}, total features {}"
+              .format(u_features.shape[1], v_features.shape[1], n_features))
+
+    tr_u, tr_v = split.train_u_indices, split.train_v_indices
+    va_u, va_v = split.val_u_indices, split.val_v_indices
+    te_u, te_v = split.test_u_indices, split.test_v_indices
+    tr_l, va_l, te_l = split.train_labels, split.val_labels, split.test_labels
+    if args.debug:  # truncate to 1000 links, /root/reference/Main.py:276-280
+        nd = 1000
+        tr_u, tr_v, tr_l = tr_u[:nd], tr_v[:nd], tr_l[:nd]
+        va_u, va_v, va_l = va_u[:nd], va_v[:nd], va_l[:nd]
+        te_u, te_v, te_l = te_u[:nd], te_v[:nd], te_l[:nd]
+    print("#train: %d, #val: %d, #test: %d" % (len(tr_u), len(va_u), len(te_u)))
+
+    mode = "testmode" if args.testing else "valmode"
+    combo = f"{args.data_name}{args.data_appendix}"
+    data_root = os.path.join("data", combo, mode)
+    if args.reprocess:
+        for s in ("train", "val", "test"):
+            d = os.path.join(data_root, s)
+            if os.path.isdir(d):
+                rmtree(d)
+
+    A = BipartiteCSR(split.adj_train)
+    mnph = args.max_nodes_per_hop if args.max_nodes_per_hop > 0 else None
+    common = dict(
+        h=args.hop, sample_ratio=args.sample_ratio, max_nodes_per_hop=mnph,
+        u_features=u_features, v_features=v_features,
+        class_values=split.class_values, backend=args.extract_backend,
+    )
+
+    def make(dynamic, sub, links, labels, max_num):
+        cls = DynamicGraphDataset if dynamic else StaticGraphDataset
+        root = os.path.join(data_root, sub)
+        return cls(root, A, links, labels, max_num=max_num, **common)
+
+    train_graphs = make(args.dynamic_train, "train", (tr_u, tr_v), tr_l,
+                        args.max_train_num)
+    test_graphs = make(args.dynamic_test, "test", (te_u, te_v), te_l,
+                       args.max_test_num)
+    val_graphs = None
+    if not args.testing:
+        val_graphs = make(args.dynamic_val, "val", (va_u, va_v), va_l,
+                          args.max_val_num)
+        test_graphs = val_graphs  # evaluate on val in valmode
+    print("Used #train graphs: %d, #test graphs: %d"
+          % (len(train_graphs), len(test_graphs)))
+    return train_graphs, val_graphs, test_graphs, n_features
+
+
+def build_model(args, split, n_features):
+    import jax
+
+    from ..models import (
+        DGCNNConfig, IGMCConfig, GNNConfig,
+        dgcnn_forward, dgcnn_init, gnn_forward, gnn_init,
+        igmc_forward, igmc_init,
+    )
+
+    num_features = 2 * args.hop + 2
+    if args.transfer:
+        num_relations = args.num_relations
+        multiply_by = args.multiply_by
+    else:
+        num_relations = len(split.class_values)
+        multiply_by = 1.0
+
+    key = jax.random.PRNGKey(args.seed)
+    if args.model == "igmc":
+        cfg = IGMCConfig(
+            num_features=num_features, latent_dim=(32, 32, 32, 32),
+            num_relations=num_relations, num_bases=4,
+            adj_dropout=args.adj_dropout,
+            force_undirected=args.force_undirected,
+            side_features=args.use_features, n_side_features=n_features,
+            multiply_by=multiply_by,
+        )
+        params = igmc_init(key, cfg)
+        fwd = lambda p, b, key=None, training=False: igmc_forward(
+            p, b, cfg, key, training)
+    elif args.model == "gnn":
+        cfg = GNNConfig(num_features=num_features,
+                        adj_dropout=args.adj_dropout,
+                        force_undirected=args.force_undirected)
+        params = gnn_init(key, cfg)
+        fwd = lambda p, b, key=None, training=False: gnn_forward(
+            p, b, cfg, key, training)
+    else:  # dgcnn / dgcnn_rs
+        cfg = DGCNNConfig(
+            num_features=num_features, latent_dim=(32, 32, 32, 1), k=30,
+            adj_dropout=args.adj_dropout,
+            force_undirected=args.force_undirected,
+            relational=(args.model == "dgcnn_rs"),
+            num_relations=num_relations, num_bases=4,
+        )
+        params = dgcnn_init(key, cfg)
+        fwd = lambda p, b, key=None, training=False: dgcnn_forward(
+            p, b, cfg, key, training)
+
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"Total number of parameters is {n_params}")
+    return fwd, params, cfg
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ..utils import ResultsDir, make_logger, seed_everything
+
+    seed_everything(args.seed)
+    print(args)
+
+    rating_map, post_rating_map = rating_maps(args)
+    split = load_split(args, rating_map, post_rating_map)
+    print("All ratings are:")
+    print(split.class_values)
+
+    res = ResultsDir("results", args.data_name, args.save_appendix, args.testing)
+    res.record_cmd()
+
+    train_graphs, val_graphs, test_graphs, n_features = build_datasets(args, split)
+    fwd, params, cfg = build_model(args, split, n_features)
+
+    from ..train import (checkpoint_path, load_checkpoint, test_once,
+                         train_multiple_epochs)
+
+    logger = make_logger(res, args.save_interval)
+    state = None
+    if not args.no_train:
+        _, state = train_multiple_epochs(
+            train_graphs, test_graphs, fwd, params,
+            epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+            lr_decay_factor=args.lr_decay_factor,
+            lr_decay_step_size=args.lr_decay_step_size,
+            weight_decay=0.0, ARR=args.ARR, test_freq=args.test_freq,
+            logger=logger, continue_from=args.continue_from,
+            res_dir=res.path, seed=args.seed,
+        )
+
+    ckpt_dir = args.transfer if args.transfer else res.path
+    model_pos = checkpoint_path(ckpt_dir, "model", args.epochs)
+
+    if args.visualize:
+        from ..train.visualize import visualize
+
+        params_v = load_checkpoint(model_pos, params)
+        visualize(fwd, params_v, test_graphs, res.path, args.data_name,
+                  split.class_values, batch_size=args.batch_size)
+        if args.transfer:
+            rmse = test_once(test_graphs, fwd, params, args.batch_size,
+                             params=params_v, logger=logger)
+            print("Transfer learning rmse is: {:.6f}".format(rmse))
+        return
+
+    if args.ensemble:
+        # Checkpoint ranges per /root/reference/Main.py:437-441.
+        if args.data_name == "ml_1m":
+            start_epoch, end_epoch, interval = args.epochs - 15, args.epochs, 5
+        else:
+            start_epoch, end_epoch, interval = args.epochs - 30, args.epochs, 10
+        checkpoints = [
+            checkpoint_path(ckpt_dir, "model", x)
+            for x in range(start_epoch, end_epoch + 1, interval)
+        ]
+        if args.transfer:
+            epoch_info = "transfer {}, ensemble of range({}, {}, {})".format(
+                args.transfer, start_epoch, end_epoch, interval)
+        else:
+            epoch_info = "ensemble of range({}, {}, {})".format(
+                start_epoch, end_epoch, interval)
+        rmse = test_once(test_graphs, fwd, params, args.batch_size,
+                         ensemble=True, checkpoints=checkpoints)
+        print("Ensemble test rmse is: {:.6f}".format(rmse))
+    elif args.transfer:
+        params_t = load_checkpoint(model_pos, params)
+        rmse = test_once(test_graphs, fwd, params, args.batch_size,
+                         params=params_t)
+        epoch_info = "transfer {}, epochs {}".format(args.transfer, args.epochs)
+        print("Test rmse is: {:.6f}".format(rmse))
+    else:
+        return  # plain training run: results already logged per-epoch
+
+    res.log_line("Epoch {}, train loss {:.4f}, test rmse {:.6f}".format(
+        epoch_info, 0, rmse))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,8 +20,18 @@ def _load():
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(here, "native", "libigmc_extract.so")
-    if os.path.isfile(path):
+    if not os.path.isfile(path):
+        # Build on first use when a toolchain is available.
+        try:
+            from ..native.build import build
+
+            path = build(verbose=False)
+        except Exception:
+            return None
+    try:
         _LIB = ctypes.CDLL(path)
+    except OSError:
+        _LIB = None
     return _LIB
 
 
