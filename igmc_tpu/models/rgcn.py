@@ -68,15 +68,28 @@ def rgcn_apply(params, x, edge_src, edge_dst, edge_type, edge_mask,
     E = edge_src.shape[0]
 
     if strategy == "auto":
-        # dispatch costs N*R*Cin*Cout MACs, per-edge costs E*Cin*Cout.
-        strategy = "dispatch" if E >= num_nodes * R // 4 else "per-edge"
+        # dispatch costs N*R*Cin*Cout MACs (and an R*N-row gather table),
+        # basis-mix costs E*B*Cin*Cout MACs but gathers only from N rows.
+        strategy = "dispatch" if E >= num_nodes * R // 4 else "basis-mix"
 
     if strategy == "dispatch":
-        # One MXU-sized matmul for every relation's transform of every node.
+        # One MXU-sized matmul for every relation's transform of every node,
+        # then a single flattened-index gather (one gather op beats the
+        # two-level h[type, src] advanced-indexing form on TPU).
         h = jnp.einsum("ni,rio->rno", x, w,
                        preferred_element_type=jnp.float32)  # [R, N, out]
-        msg = h[edge_type, edge_src]  # [E, out]
-    else:
+        msg = h.reshape(R * num_nodes, Cout)[edge_type * num_nodes + edge_src]
+    elif strategy == "basis-mix":
+        # Gather once from the N-row table, mix bases per edge, one MXU
+        # matmul [E, B*Cin] @ [B*Cin, Cout]. R-independent: the right shape
+        # for many relations (yahoo_music R=71) where the dispatch table
+        # (R*N rows) would blow past VMEM.
+        xs = x[edge_src]                               # [E, in]
+        ae = params["att"][edge_type]                  # [E, B]
+        nb, Cin_, _ = params["basis"].shape
+        z = (ae[:, :, None] * xs[:, None, :]).reshape(E, nb * Cin_)
+        msg = z @ params["basis"].reshape(nb * Cin_, Cout)
+    else:  # "per-edge": per-edge relation-typed weight gather (reference-shaped)
         xs = x[edge_src]              # [E, in]
         we = w[edge_type]             # [E, in, out]
         msg = jnp.einsum("ei,eio->eo", xs, we,
