@@ -304,6 +304,7 @@ def main(argv=None):
             weight_decay=0.0, ARR=args.ARR, test_freq=args.test_freq,
             logger=logger, continue_from=args.continue_from,
             res_dir=res.path, seed=args.seed,
+            profile_dir=args.profile_dir or None,
         )
 
     ckpt_dir = args.transfer if args.transfer else res.path

@@ -174,6 +174,7 @@ def train_multiple_epochs(
     sharding=None,
     num_graphs_pad: Optional[int] = None,
     progress: bool = True,
+    profile_dir: Optional[str] = None,
 ):
     """Full training run; returns the final test RMSE."""
     optimizer = make_optimizer(lr, weight_decay)
@@ -219,9 +220,16 @@ def train_multiple_epochs(
 
     for epoch in epoch_iter:
         epoch_key = jax.random.fold_in(key, epoch)
+        # Profile the second epoch (first epoch is dominated by jit compiles).
+        profiling = profile_dir and epoch == start_epoch + 1
+        if profiling:
+            jax.profiler.start_trace(profile_dir)
         train_loss = train_epoch(
             step_fn, state, train_loader, epoch_key, len(train_dataset)
         )
+        if profiling:
+            jax.profiler.stop_trace()
+            print(f"jax.profiler trace of epoch {epoch} written to {profile_dir}")
         if epoch % test_freq == 0:
             rmses.append(eval_rmse(eval_fn, state.params, test_loader))
         else:
