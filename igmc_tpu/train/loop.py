@@ -91,6 +91,46 @@ def make_train_step(forward: Callable, optimizer, ARR: float = 0.0,
     return step
 
 
+def make_scan_train_step(forward: Callable, optimizer, ARR: float = 0.0,
+                         with_arr_params: bool = True):
+    """K training steps in ONE dispatch: lax.scan over a stacked batch
+    (leading axis K). Numerically identical to K make_train_step calls with
+    keys fold_in(key, step0 + k) — amortizes per-step host/dispatch/upload
+    overhead (critical on remote/tunneled TPU backends)."""
+
+    def loss_fn(params, batch, key):
+        preds = forward(params, batch, key=key, training=True)
+        gmask = batch.graph_mask.astype(jnp.float32)
+        n = jnp.maximum(gmask.sum(), 1.0)
+        mse = jnp.sum(((preds - batch.y) ** 2) * gmask) / n
+        loss = mse
+        if ARR != 0.0 and with_arr_params:
+            loss = loss + ARR * arr_regularizer(params)
+        return loss, n
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def steps(params, opt_state, stacked, key, step0):
+        K = stacked.y.shape[0]
+
+        def body(carry, xs):
+            params, opt_state = carry
+            batch, k_idx = xs
+            kk = jax.random.fold_in(key, step0 + k_idx)
+            (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, kk
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, n)
+
+        (params, opt_state), (losses, ns) = jax.lax.scan(
+            body, (params, opt_state), (stacked, jnp.arange(K))
+        )
+        return params, opt_state, jnp.sum(losses * ns), jnp.sum(ns)
+
+    return steps
+
+
 def make_eval_step(forward: Callable):
     """Jitted eval: returns (squared-error sum, count, raw predictions)."""
 
@@ -101,40 +141,80 @@ def make_eval_step(forward: Callable):
         sse = jnp.sum(((preds - batch.y) ** 2) * gmask)
         return sse, gmask.sum(), preds
 
-    return step
+    @jax.jit
+    def scan_step(params, stacked):
+        def body(_, batch):
+            return None, step(params, batch)
+
+        _, (sses, cnts, preds) = jax.lax.scan(body, None, stacked)
+        return jnp.sum(sses), jnp.sum(cnts), preds
+
+    def dispatch(params, batch):
+        if batch.y.ndim == 2:  # stacked superbatch [K, B]
+            return scan_step(params, batch)
+        return step(params, batch)
+
+    return dispatch
 
 
 def train_epoch(step_fn, state: TrainState, loader: BatchLoader, key,
-                dataset_size: int):
-    """One pass over the training data; returns reference-style train loss."""
-    total = 0.0
+                dataset_size: int, scan_step_fn=None):
+    """One pass over the training data; returns reference-style train loss.
+
+    Loss accumulation stays ON DEVICE (lazy scalars chained across steps);
+    the single float() at the end is the only host sync of the epoch —
+    per-step syncs would serialize every step on the device round-trip
+    latency (disastrous through a remote-TPU tunnel).
+    """
+    total = None
     params, opt_state = state.params, state.opt_state
-    for i, batch in enumerate(loader):
-        k = jax.random.fold_in(key, i)
-        params, opt_state, loss, n = step_fn(params, opt_state, batch, k)
-        total += float(loss) * float(n)
+    i = 0
+    for batch in loader:
+        if batch.y.ndim == 2 and scan_step_fn is not None:
+            # stacked superbatch: K steps in one dispatch
+            K = batch.y.shape[0]
+            params, opt_state, contrib, _ = scan_step_fn(
+                params, opt_state, batch, key, jnp.asarray(i, jnp.int32)
+            )
+            i += K
+        else:
+            k = jax.random.fold_in(key, i)
+            params, opt_state, loss, n = step_fn(params, opt_state, batch, k)
+            contrib = loss * n
+            i += 1
+        total = contrib if total is None else total + contrib
     state.params, state.opt_state = params, opt_state
-    return total / max(dataset_size, 1)
+    if total is None:
+        return 0.0
+    return float(total) / max(dataset_size, 1)
 
 
 def eval_rmse(eval_fn, params, loader: BatchLoader) -> float:
-    sse = 0.0
-    cnt = 0.0
+    """RMSE over a loader; device-side accumulation, one host sync."""
+    sse = None
+    cnt = None
     for batch in loader:
         s, c, _ = eval_fn(params, batch)
-        sse += float(s)
-        cnt += float(c)
-    return math.sqrt(sse / max(cnt, 1.0))
+        sse = s if sse is None else sse + s
+        cnt = c if cnt is None else cnt + c
+    if sse is None:
+        return 0.0
+    return math.sqrt(float(sse) / max(float(cnt), 1.0))
 
 
 def predict_all(eval_fn, params, loader: BatchLoader):
-    """Raw predictions + targets over a fixed-order loader (for ensembling)."""
-    preds, ys = [], []
+    """Raw predictions + targets over a fixed-order loader (for ensembling).
+
+    Device results are fetched in one bulk device_get at the end, not one
+    blocking transfer per batch.
+    """
+    raw = []
     for batch in loader:
         _, _, p = eval_fn(params, batch)
-        gmask = np.asarray(batch.graph_mask)
-        preds.append(np.asarray(p)[gmask])
-        ys.append(np.asarray(batch.y)[gmask])
+        raw.append((p, batch.graph_mask, batch.y))
+    raw = jax.device_get(raw)
+    preds = [np.asarray(p)[np.asarray(m)] for p, m, _ in raw]
+    ys = [np.asarray(y)[np.asarray(m)] for _, m, y in raw]
     return np.concatenate(preds), np.concatenate(ys)
 
 
@@ -175,22 +255,31 @@ def train_multiple_epochs(
     num_graphs_pad: Optional[int] = None,
     progress: bool = True,
     profile_dir: Optional[str] = None,
+    superbatch: int = 8,
 ):
-    """Full training run; returns the final test RMSE."""
+    """Full training run; returns the final test RMSE.
+
+    `superbatch` > 1 groups that many equal-shape batches into one stacked
+    upload + one lax.scan dispatch (single-device only) — same numerics,
+    K times less per-step host overhead.
+    """
     optimizer = make_optimizer(lr, weight_decay)
     params = init_params
     opt_state = optimizer.init(params)
     state = TrainState(params=params, opt_state=opt_state)
 
+    sb = superbatch if sharding is None else 0
     train_loader = BatchLoader(
-        train_dataset, batch_size, shuffle=True, seed=seed, sharding=sharding
+        train_dataset, batch_size, shuffle=True, seed=seed, sharding=sharding,
+        superbatch=sb,
     )
     test_loader = BatchLoader(
         test_dataset, batch_size, shuffle=False, sharding=sharding,
-        node_ladder=None, edge_ladder=None,
+        node_ladder=None, edge_ladder=None, superbatch=sb,
     )
 
     step_fn = make_train_step(forward, optimizer, ARR)
+    scan_step_fn = make_scan_train_step(forward, optimizer, ARR) if sb > 1 else None
     eval_fn = make_eval_step(forward)
 
     start_epoch = 1
@@ -225,7 +314,8 @@ def train_multiple_epochs(
         if profiling:
             jax.profiler.start_trace(profile_dir)
         train_loss = train_epoch(
-            step_fn, state, train_loader, epoch_key, len(train_dataset)
+            step_fn, state, train_loader, epoch_key, len(train_dataset),
+            scan_step_fn=scan_step_fn,
         )
         if profiling:
             jax.profiler.stop_trace()
@@ -272,7 +362,8 @@ def test_once(
 ):
     """Evaluate once — single params or a prediction-averaged ensemble."""
     loader = BatchLoader(test_dataset, batch_size, shuffle=False,
-                         sharding=sharding)
+                         sharding=sharding,
+                         superbatch=8 if sharding is None else 0)
     eval_fn = make_eval_step(forward)
     t_start = time.perf_counter()
     if ensemble and checkpoints:
