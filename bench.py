@@ -39,6 +39,35 @@ def hbm_bandwidth_bytes_per_sec(device) -> float:
     return 819e9  # conservative default
 
 
+def bench_extraction(n_links: int = 30000) -> dict:
+    """Host-side subgraph extraction throughput (the second north-star
+    metric: subgraphs/sec; reference is ~3.3k/s on 8 cores per README:13)."""
+    import scipy.sparse as sp
+
+    from igmc_tpu.graphs import BipartiteCSR, extract_many
+
+    rng = np.random.default_rng(0)
+    n_side = 3000
+    density = 0.01  # ~90k ratings, Monti-dataset scale
+    M = sp.random(n_side, n_side, density=density, format="csr",
+                  random_state=np.random.RandomState(0))
+    M.data = rng.integers(1, 6, M.nnz).astype(np.float64)
+    A = BipartiteCSR(M)
+    us, vs = M.nonzero()
+    labels = (M.data - 1).astype(np.int64)
+    n = min(n_links, len(labels))
+    cv = np.arange(1.0, 6.0)
+    out = {}
+    for backend in ("native", "numpy"):
+        m = n if backend == "native" else min(n, 3000)
+        t0 = time.perf_counter()
+        extract_many((us[:m], vs[:m]), labels[:m], A, h=1, class_values=cv,
+                     backend=backend)
+        out[f"extraction_{backend}_subgraphs_per_sec"] = round(
+            m / (time.perf_counter() - t0), 1)
+    return out
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -91,6 +120,7 @@ def main():
             "layers": 4, "feature_width": C,
             "roofline_edges_per_sec": round(roofline, 1),
             "baseline_semantics": "fraction of HBM roofline (target >= 0.8)",
+            **bench_extraction(),
         },
     }
     print(json.dumps(result))

@@ -1,0 +1,35 @@
+"""CLI integration test: the Main-equivalent driver end-to-end on flixster
+--debug (1000 links), exercising extraction, caching, training, logging and
+checkpointing through the real argv surface."""
+
+import os
+
+import numpy as np
+import pytest
+
+MONTI_AVAILABLE = os.path.isdir("/root/reference/raw_data/flixster") or \
+    os.path.isdir(os.path.join(os.getcwd(), "raw_data", "flixster"))
+
+
+@pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+def test_cli_debug_run(tmp_path, monkeypatch):
+    from igmc_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    main([
+        "--data-name", "flixster", "--testing", "--debug",
+        "--epochs", "2", "--batch-size", "50", "--save-interval", "1",
+        "--max-train-num", "300", "--max-test-num", "100",
+    ])
+    res = tmp_path / "results" / "flixster_testmode"
+    log = (res / "log.txt").read_text().strip().splitlines()
+    assert len(log) == 2
+    assert log[0].startswith("Epoch 1, train loss ")
+    rmse = float(log[-1].split(" ")[-1])
+    assert np.isfinite(rmse) and rmse < 4.0  # 2 epochs x 300 graphs: sanity only
+    assert (res / "cmd_input.txt").exists()
+    assert (res / "model_checkpoint2.ckpt").exists()
+    assert (res / "optimizer_checkpoint2.ckpt").exists()
+    # static subgraph cache written
+    assert (tmp_path / "data" / "flixster" / "testmode" / "train"
+            / "processed" / "data_300.npz").exists()
