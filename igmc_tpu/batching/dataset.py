@@ -256,7 +256,15 @@ class BatchLoader:
         prefetch: int = 2,
         drop_last: bool = False,
         superbatch: int = 0,
+        n_devices: int = 0,
     ):
+        if n_devices > 1 and batch_size % n_devices:
+            raise ValueError(
+                f"batch_size {batch_size} must divide by n_devices {n_devices}"
+            )
+        if n_devices > 1:
+            superbatch = 0  # DP batches already carry a leading device axis
+        self.n_devices = n_devices
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -314,6 +322,14 @@ class BatchLoader:
             graphs = self.dataset.get_many(idxs)
         else:
             graphs = [self.dataset.get(int(i)) for i in idxs]
+        if self.n_devices > 1:
+            # data parallelism: D equal sub-batches stacked on a device axis
+            from ..parallel.dp import split_for_devices
+
+            return split_for_devices(
+                graphs, self.n_devices, self.batch_size // self.n_devices,
+                self.node_ladder, self.edge_ladder,
+            )
         total_n = sum(g.num_nodes for g in graphs)
         total_e = sum(g.num_edges for g in graphs)
         node_pad = bucket_for(total_n, self.node_ladder)

@@ -294,6 +294,12 @@ def main(argv=None):
                          train_multiple_epochs)
 
     logger = make_logger(res, args.save_interval)
+    mesh = None
+    if args.n_devices > 0:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(n_data=args.n_devices)
+        print(f"Data-parallel training over {args.n_devices} devices")
     state = None
     if not args.no_train:
         _, state = train_multiple_epochs(
@@ -305,6 +311,7 @@ def main(argv=None):
             logger=logger, continue_from=args.continue_from,
             res_dir=res.path, seed=args.seed,
             profile_dir=args.profile_dir or None,
+            mesh=mesh,
         )
 
     ckpt_dir = args.transfer if args.transfer else res.path

@@ -256,31 +256,56 @@ def train_multiple_epochs(
     progress: bool = True,
     profile_dir: Optional[str] = None,
     superbatch: int = 8,
+    mesh=None,
 ):
     """Full training run; returns the final test RMSE.
 
     `superbatch` > 1 groups that many equal-shape batches into one stacked
     upload + one lax.scan dispatch (single-device only) — same numerics,
     K times less per-step host overhead.
+
+    `mesh` switches to data-parallel training: the loader splits each global
+    batch into one equal sub-batch per device (stacked on a leading axis
+    sharded over 'data'); GSPMD inserts the gradient psum.
     """
     optimizer = make_optimizer(lr, weight_decay)
     params = init_params
     opt_state = optimizer.init(params)
     state = TrainState(params=params, opt_state=opt_state)
 
-    sb = superbatch if sharding is None else 0
+    n_dev = 0
+    if mesh is not None:
+        from ..parallel import batch_sharding, replicated_sharding
+        from ..parallel.dp import make_dp_eval_step, make_dp_train_step
+
+        n_dev = mesh.devices.size
+        sharding = batch_sharding(mesh)
+        param_shd = replicated_sharding(mesh)
+        params = jax.device_put(params, param_shd)
+        state.params = params
+        state.opt_state = jax.device_put(opt_state, param_shd)
+
+    sb = superbatch if (sharding is None and mesh is None) else 0
     train_loader = BatchLoader(
         train_dataset, batch_size, shuffle=True, seed=seed, sharding=sharding,
-        superbatch=sb,
+        superbatch=sb, n_devices=n_dev,
     )
     test_loader = BatchLoader(
         test_dataset, batch_size, shuffle=False, sharding=sharding,
-        node_ladder=None, edge_ladder=None, superbatch=sb,
+        node_ladder=None, edge_ladder=None, superbatch=sb, n_devices=n_dev,
     )
 
-    step_fn = make_train_step(forward, optimizer, ARR)
-    scan_step_fn = make_scan_train_step(forward, optimizer, ARR) if sb > 1 else None
-    eval_fn = make_eval_step(forward)
+    if mesh is not None:
+        fwd = forward
+        step_fn = make_dp_train_step(fwd, optimizer, ARR, mesh, sharding,
+                                     param_shd)
+        scan_step_fn = None
+        eval_fn = make_dp_eval_step(fwd, mesh, sharding, param_shd)
+    else:
+        step_fn = make_train_step(forward, optimizer, ARR)
+        scan_step_fn = (make_scan_train_step(forward, optimizer, ARR)
+                        if sb > 1 else None)
+        eval_fn = make_eval_step(forward)
 
     start_epoch = 1
     if continue_from is not None:

@@ -129,3 +129,36 @@ def test_dp_loss_decreases():
         p, s, loss, _ = step(p, s, batch, jax.random.PRNGKey(i))
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7
+
+
+def test_train_multiple_epochs_dp_end_to_end():
+    """The full train_multiple_epochs loop in data-parallel mode (mesh) on
+    the 8-device CPU mesh — exercises the DP loader + dp step wiring."""
+    from igmc_tpu.train import train_multiple_epochs
+
+    graphs = make_graphs(64)
+
+    class DS:
+        def __len__(self):
+            return len(graphs)
+
+        def get(self, i):
+            return graphs[i]
+
+        def node_counts(self):
+            return np.array([g.num_nodes for g in graphs])
+
+        def edge_counts(self):
+            return np.array([g.num_edges for g in graphs])
+
+    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.2)
+    params = igmc_init(jax.random.PRNGKey(0), cfg)
+    fwd = lambda p, b, key=None, training=False: igmc_forward(
+        p, b, cfg, key, training)
+    mesh = make_mesh(n_data=8)
+    rmse, state = train_multiple_epochs(
+        DS(), DS(), fwd, params, epochs=2, batch_size=16, lr=1e-2,
+        lr_decay_factor=0.1, lr_decay_step_size=50, ARR=0.001, test_freq=1,
+        seed=1, progress=False, mesh=mesh)
+    assert np.isfinite(rmse)
+    assert state.epoch == 2
