@@ -286,6 +286,9 @@ def main(argv=None):
 
     res = ResultsDir("results", args.data_name, args.save_appendix, args.testing)
     res.record_cmd()
+    if not args.keep_old and not args.transfer:
+        # provenance snapshot, mirroring /root/reference/Main.py:200-205
+        res.snapshot_source()
 
     train_graphs, val_graphs, test_graphs, n_features = build_datasets(args, split)
     fwd, params, cfg = build_model(args, split, n_features)

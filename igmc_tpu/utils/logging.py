@@ -29,6 +29,37 @@ class ResultsDir:
             f.write(cmd)
         print("Command line input: " + cmd + " is saved.")
 
+    def snapshot_source(self) -> None:
+        """Record code provenance in the results dir.
+
+        The reference copies its four source files into the results dir
+        (/root/reference/Main.py:200-205); with a real package the
+        equivalent is the git revision + a content manifest of igmc_tpu/."""
+        import hashlib
+        import subprocess
+
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        lines = []
+        try:
+            rev = subprocess.run(
+                ["git", "rev-parse", "HEAD"], cwd=pkg_root,
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            if rev:
+                lines.append(f"git_revision {rev}")
+        except Exception:
+            pass
+        for dirpath, _, files in sorted(os.walk(pkg_root)):
+            for fn in sorted(files):
+                if not fn.endswith((".py", ".cpp")):
+                    continue
+                p = os.path.join(dirpath, fn)
+                with open(p, "rb") as f:
+                    h = hashlib.sha256(f.read()).hexdigest()[:16]
+                lines.append(f"{h} {os.path.relpath(p, pkg_root)}")
+        with open(os.path.join(self.path, "source_snapshot.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
     def log_line(self, text: str) -> None:
         with open(os.path.join(self.path, "log.txt"), "a") as f:
             f.write(text + "\n")
