@@ -1,0 +1,201 @@
+"""Pallas TPU kernel: fused basis-mix R-GCN message + block-CSR segment-sum.
+
+The R-GCN hot loop (/root/reference/models.py:200-202 via PyG RGCNConv) is
+gather -> relation-typed transform -> scatter-mean. On this jax/Mosaic stack
+the data-dependent gather/scatter themselves CANNOT be expressed efficiently
+in Pallas (`tpu.dynamic_gather` is single-vreg only; there is no scatter
+lowering at all — see kernels/README.md for the measurements), so XLA's
+native emitters keep the gather. What CAN be fused into one kernel is
+everything between: the per-edge basis mixing, the message matmul, the edge
+masking and the segment reduction — with the reduction expressed as an
+indicator matmul over host-aligned edge blocks instead of a scatter:
+
+  * the host sorts edges by destination and packs them into fixed blocks of
+    `eblk` edges such that every block only targets one aligned chunk of
+    `rows` output rows (power-law rows simply span several consecutive
+    blocks of the same chunk);
+  * the kernel computes msg = (att_e ⊗ xs) @ basis on the MXU, then
+    out_chunk += indicatorᵀ @ msg — also an MXU matmul — accumulating
+    across consecutive blocks of the same chunk via output-block revisiting.
+
+Forward-only: the backward runs the plain XLA formulation via custom_vjp
+(the op is linear in xs/att/basis, so the transpose is a dst-gather and two
+matmuls XLA handles well).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pallas_available() -> bool:
+    try:
+        from jax.experimental import pallas as pl  # noqa: F401
+        from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Host-side block alignment
+# ---------------------------------------------------------------------------
+
+def block_align_edges(
+    edge_src: np.ndarray,
+    edge_dst: np.ndarray,
+    edge_type: np.ndarray,
+    edge_mask: np.ndarray,
+    num_nodes: int,
+    eblk: int = 1024,  # 1-D int32 operands must match the T(1024) XLA tiling
+    rows: int = 256,
+    num_blocks: Optional[int] = None,
+):
+    """Sort/pad edges into dst-aligned blocks for the Pallas kernel.
+
+    Returns (src, dst_local, etype, mask, chunk_of_block, first_of_chunk,
+    n_blocks): edge arrays of shape [n_blocks*eblk]; block b only contains
+    edges whose dst lies in chunk `chunk_of_block[b]` (rows
+    [c*rows, (c+1)*rows)); blocks of one chunk are consecutive and
+    `first_of_chunk[b]` marks the first (for output-accumulator init).
+    """
+    assert num_nodes % rows == 0, (num_nodes, rows)
+    real = np.nonzero(edge_mask)[0]
+    order = real[np.argsort(edge_dst[real], kind="stable")]
+    dst_sorted = edge_dst[order]
+    chunk_ids = dst_sorted // rows
+
+    # per-chunk edge counts -> per-chunk block counts
+    n_chunks = num_nodes // rows
+    counts = np.bincount(chunk_ids, minlength=n_chunks)
+    blocks_per_chunk = np.maximum(1, -(-counts // eblk))
+    n_blocks = int(blocks_per_chunk.sum())
+    if num_blocks is not None:
+        if n_blocks > num_blocks:
+            raise ValueError(f"need {n_blocks} blocks > requested {num_blocks}")
+        # distribute the extra blocks to chunk 0 (they hold only padding)
+        blocks_per_chunk[0] += num_blocks - n_blocks
+        n_blocks = num_blocks
+
+    E = n_blocks * eblk
+    src = np.zeros(E, np.int32)
+    dstl = np.zeros(E, np.int32)
+    etyp = np.zeros(E, np.int32)
+    mask = np.zeros(E, np.float32)
+    chunk_of_block = np.zeros(n_blocks, np.int32)
+    first_of_chunk = np.zeros(n_blocks, np.int32)
+
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    b = 0
+    for c in range(n_chunks):
+        es, ee = starts[c], starts[c + 1]
+        idx = order[es:ee]
+        for k in range(int(blocks_per_chunk[c])):
+            sub = idx[k * eblk : (k + 1) * eblk]
+            n = len(sub)
+            o = b * eblk
+            src[o : o + n] = edge_src[sub]
+            dstl[o : o + n] = edge_dst[sub] - c * rows
+            etyp[o : o + n] = edge_type[sub]
+            mask[o : o + n] = 1.0
+            chunk_of_block[b] = c
+            first_of_chunk[b] = 1 if k == 0 else 0
+            b += 1
+    return src, dstl, etyp, mask, chunk_of_block, first_of_chunk, n_blocks
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+def _kernel(chunk_ref, first_ref, xs_ref, ae_ref, dstl_ref, mask_ref,
+            basis_ref, out_ref, *, rows: int):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    b = pl.program_id(0)
+    xs = xs_ref[:]                       # [eblk, Cin]
+    ae = ae_ref[:]                       # [eblk, B]
+    eblk, cin = xs.shape
+    nb = ae.shape[1]
+    # msg = sum_b ae[:, b] * (xs @ basis_b)  — B static small matmuls
+    # (Mosaic cannot collapse a [eblk, B, Cin] intermediate into 2-D).
+    msg = None
+    for bi in range(nb):
+        h = jnp.dot(xs, basis_ref[bi * cin : (bi + 1) * cin, :],
+                    preferred_element_type=jnp.float32)
+        term = ae[:, bi][:, None] * h
+        msg = term if msg is None else msg + term
+    msg = msg * mask_ref[:][:, None]     # [eblk, Cout]
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (eblk, rows), 1)
+    onehot = (dstl_ref[:][:, None] == row_ids).astype(jnp.float32)
+
+    contrib = jax.lax.dot_general(      # [rows, Cout] = onehot^T @ msg
+        onehot, msg, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(first_ref[b] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += contrib
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "num_nodes", "interpret"))
+def _aggregate_fwd(xs, ae, dstl, mask, basis_flat, chunk_of_block,
+                   first_of_chunk, *, rows: int, num_nodes: int,
+                   interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_blocks = chunk_of_block.shape[0]
+    eblk = xs.shape[0] // n_blocks
+    cout = basis_flat.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # chunk_of_block, first_of_chunk
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((eblk, xs.shape[1]), lambda b, c, f: (b, 0)),
+            pl.BlockSpec((eblk, ae.shape[1]), lambda b, c, f: (b, 0)),
+            pl.BlockSpec((eblk,), lambda b, c, f: (b,)),
+            pl.BlockSpec((eblk,), lambda b, c, f: (b,)),
+            pl.BlockSpec(basis_flat.shape, lambda b, c, f: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((rows, cout), lambda b, c, f: (c[b], 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, rows=rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_nodes, cout), jnp.float32),
+        interpret=interpret,
+    )(chunk_of_block, first_of_chunk, xs, ae, dstl, mask, basis_flat)
+
+
+def rgcn_aggregate_pallas(x, att, basis, aligned, *, rows: int,
+                          num_nodes: int, interpret: bool = False):
+    """Fused masked segment-SUM of basis-mixed messages over aligned blocks.
+
+    x [N, Cin] node features; att [R, B]; basis [B, Cin, Cout];
+    `aligned` = (src, dst_local, etype, mask, chunk_of_block, first_of_chunk)
+    from block_align_edges (device arrays). Returns [num_nodes, Cout] sums
+    (divide by degree outside for mean). Gathers stay in XLA; everything
+    else is one Pallas kernel.
+    """
+    src, dstl, etyp, mask, chunk_of_block, first_of_chunk = aligned
+    nb, cin, cout = basis.shape
+    xs = x[src]                     # XLA gather
+    ae = att[etyp]                  # XLA gather
+    return _aggregate_fwd(
+        xs, ae, dstl, mask, basis.reshape(nb * cin, cout),
+        chunk_of_block, first_of_chunk,
+        rows=rows, num_nodes=num_nodes, interpret=interpret,
+    )
