@@ -57,14 +57,19 @@ def bench_extraction(n_links: int = 30000) -> dict:
     labels = (M.data - 1).astype(np.int64)
     n = min(n_links, len(labels))
     cv = np.arange(1.0, 6.0)
+    from igmc_tpu.graphs import native
+
     out = {}
-    for backend in ("native", "numpy"):
+    backends = ["numpy"] + (["native"] if native.available() else [])
+    for backend in backends:
         m = n if backend == "native" else min(n, 3000)
         t0 = time.perf_counter()
         extract_many((us[:m], vs[:m]), labels[:m], A, h=1, class_values=cv,
                      backend=backend)
         out[f"extraction_{backend}_subgraphs_per_sec"] = round(
             m / (time.perf_counter() - t0), 1)
+    if not native.available():
+        out["extraction_native_subgraphs_per_sec"] = None  # engine not built
     return out
 
 

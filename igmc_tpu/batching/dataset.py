@@ -355,8 +355,12 @@ class BatchLoader:
         edge_pad = self.edge_ladder[-1]
         need_n = max(sum(g.num_nodes for g in gs) for gs in graph_lists)
         need_e = max(sum(g.num_edges for g in gs) for gs in graph_lists)
-        if need_n > node_pad or need_e > edge_pad:  # ladder estimate too low
+        # Ladder estimate too low: grow ONLY the overflowing dimension, so
+        # the other stays at the fixed maximum and shape churn (= scan
+        # recompiles) is bounded to one extra shape per overflow axis.
+        if need_n > node_pad:
             node_pad = bucket_for(need_n, self.node_ladder)
+        if need_e > edge_pad:
             edge_pad = bucket_for(need_e, self.edge_ladder)
         subs = [collate(gs, self.batch_size, node_pad, edge_pad)
                 for gs in graph_lists]

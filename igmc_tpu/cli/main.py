@@ -298,11 +298,13 @@ def main(argv=None):
 
     logger = make_logger(res, args.save_interval)
     mesh = None
-    if args.n_devices > 0:
+    if args.n_devices > 1:
         from ..parallel import make_mesh
 
         mesh = make_mesh(n_data=args.n_devices)
         print(f"Data-parallel training over {args.n_devices} devices")
+    elif args.n_devices == 1:
+        print("--n-devices 1: single device, using the plain training path")
     state = None
     if not args.no_train:
         _, state = train_multiple_epochs(

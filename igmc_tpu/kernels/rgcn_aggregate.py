@@ -18,9 +18,12 @@ indicator matmul over host-aligned edge blocks instead of a scatter:
     out_chunk += indicatorᵀ @ msg — also an MXU matmul — accumulating
     across consecutive blocks of the same chunk via output-block revisiting.
 
-Forward-only: the backward runs the plain XLA formulation via custom_vjp
-(the op is linear in xs/att/basis, so the transpose is a dst-gather and two
-matmuls XLA handles well).
+Forward/inference-only for now: pallas_call has no autodiff rule, so
+differentiating through rgcn_aggregate_pallas raises at trace time. The
+integration path for training is a custom_vjp whose backward is the plain
+XLA formulation (the op is linear in xs/att/basis: the transpose is a
+dst-gather plus two matmuls XLA handles well) — not yet wired because the
+XLA strategies in models/rgcn.py remain the production path (README.md).
 """
 
 from __future__ import annotations

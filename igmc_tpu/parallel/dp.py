@@ -49,6 +49,17 @@ def split_for_devices(graphs, n_devices: int, per_device_graphs: int,
     node_pad = bucket_for(need_n, node_ladder)
     edge_pad = bucket_for(need_e, edge_ladder)
     subs = [collate(c, per_device_graphs, node_pad, edge_pad) for c in chunks]
+    # A short final batch can leave some chunks empty: collate gives those
+    # u_feat/v_feat=None while populated chunks carry arrays — rectangularize
+    # with zeros so stack_batches sees a uniform pytree.
+    feat_dims = next(((s.u_feat.shape[1], s.v_feat.shape[1])
+                      for s in subs if s.u_feat is not None), None)
+    if feat_dims is not None:
+        du, dv = feat_dims
+        for s in subs:
+            if s.u_feat is None:
+                s.u_feat = np.zeros((per_device_graphs, du), np.float32)
+                s.v_feat = np.zeros((per_device_graphs, dv), np.float32)
     return stack_batches(subs)
 
 

@@ -62,12 +62,10 @@ def get_learning_rate(opt_state) -> float:
     return float(opt_state.hyperparams["learning_rate"])
 
 
-def make_train_step(forward: Callable, optimizer, ARR: float = 0.0,
-                    with_arr_params: bool = True):
-    """Build the jitted (params, opt_state, batch, key) -> updated step.
-
-    `forward(params, batch, key, training)` returns per-graph predictions [B].
-    """
+def _make_loss_fn(forward: Callable, ARR: float, with_arr_params: bool):
+    """Shared batch loss: masked mean MSE + ARR regularizer. The flat and
+    scanned train steps both use THIS function — their numerical parity
+    (tests/test_superbatch.py) depends on there being exactly one copy."""
 
     def loss_fn(params, batch, key):
         preds = forward(params, batch, key=key, training=True)
@@ -78,6 +76,17 @@ def make_train_step(forward: Callable, optimizer, ARR: float = 0.0,
         if ARR != 0.0 and with_arr_params:
             loss = loss + ARR * arr_regularizer(params)
         return loss, n
+
+    return loss_fn
+
+
+def make_train_step(forward: Callable, optimizer, ARR: float = 0.0,
+                    with_arr_params: bool = True):
+    """Build the jitted (params, opt_state, batch, key) -> updated step.
+
+    `forward(params, batch, key, training)` returns per-graph predictions [B].
+    """
+    loss_fn = _make_loss_fn(forward, ARR, with_arr_params)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, key):
@@ -97,16 +106,7 @@ def make_scan_train_step(forward: Callable, optimizer, ARR: float = 0.0,
     (leading axis K). Numerically identical to K make_train_step calls with
     keys fold_in(key, step0 + k) — amortizes per-step host/dispatch/upload
     overhead (critical on remote/tunneled TPU backends)."""
-
-    def loss_fn(params, batch, key):
-        preds = forward(params, batch, key=key, training=True)
-        gmask = batch.graph_mask.astype(jnp.float32)
-        n = jnp.maximum(gmask.sum(), 1.0)
-        mse = jnp.sum(((preds - batch.y) ** 2) * gmask) / n
-        loss = mse
-        if ARR != 0.0 and with_arr_params:
-            loss = loss + ARR * arr_regularizer(params)
-        return loss, n
+    loss_fn = _make_loss_fn(forward, ARR, with_arr_params)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def steps(params, opt_state, stacked, key, step0):

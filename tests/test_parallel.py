@@ -162,3 +162,27 @@ def test_train_multiple_epochs_dp_end_to_end():
         seed=1, progress=False, mesh=mesh)
     assert np.isfinite(rmse)
     assert state.epoch == 2
+
+
+def test_split_for_devices_short_batch_with_side_features():
+    """A short final batch leaves some device chunks empty; side-feature
+    arrays must still stack rectangularly (code-review regression)."""
+    from igmc_tpu.parallel.dp import split_for_devices
+
+    rng = np.random.default_rng(0)
+    M = (rng.random((25, 25)) < 0.4).astype(np.float32) * rng.integers(
+        1, 6, (25, 25)).astype(np.float32)
+    A = BipartiteCSR(sp.csr_matrix(M))
+    us, vs = np.nonzero(M)
+    labels = (M[us, vs] - 1).astype(np.int64)
+    cv = np.arange(1.0, 6.0)
+    uf = rng.standard_normal((25, 3)).astype(np.float32)
+    vf = rng.standard_normal((25, 2)).astype(np.float32)
+    graphs = extract_many((us[:5], vs[:5]), labels[:5], A, h=1,
+                          u_features=uf, v_features=vf, class_values=cv,
+                          backend="numpy")
+    # 5 graphs over 4 devices x 2 per device -> chunks of 2,2,1,0
+    stacked = split_for_devices(graphs, 4, 2, [256], [1024])
+    assert stacked.u_feat.shape == (4, 2, 3)
+    assert stacked.v_feat.shape == (4, 2, 2)
+    assert stacked.graph_mask.sum() == 5
