@@ -18,12 +18,11 @@ indicator matmul over host-aligned edge blocks instead of a scatter:
     out_chunk += indicatorᵀ @ msg — also an MXU matmul — accumulating
     across consecutive blocks of the same chunk via output-block revisiting.
 
-Forward/inference-only for now: pallas_call has no autodiff rule, so
-differentiating through rgcn_aggregate_pallas raises at trace time. The
-integration path for training is a custom_vjp whose backward is the plain
-XLA formulation (the op is linear in xs/att/basis: the transpose is a
-dst-gather plus two matmuls XLA handles well) — not yet wired because the
-XLA strategies in models/rgcn.py remain the production path (README.md).
+Training-capable: rgcn_aggregate_pallas carries a custom_vjp whose forward
+is the Pallas kernel and whose backward is the plain XLA formulation (the
+op is linear in x/att/basis, so the transpose is a dst-gather plus two
+matmuls XLA handles well). The XLA strategies in models/rgcn.py remain the
+default production path (see README.md).
 """
 
 from __future__ import annotations
@@ -183,7 +182,17 @@ def _aggregate_fwd(xs, ae, dstl, mask, basis_flat, chunk_of_block,
     )(chunk_of_block, first_of_chunk, xs, ae, dstl, mask, basis_flat)
 
 
-def rgcn_aggregate_pallas(x, att, basis, aligned, *, rows: int,
+def _dst_global(aligned, rows: int):
+    """Reconstruct global dst ids from (dst_local, chunk_of_block)."""
+    src, dstl, etyp, mask, chunk_of_block, first_of_chunk = aligned
+    n_blocks = chunk_of_block.shape[0]
+    eblk = src.shape[0] // n_blocks
+    chunk_per_edge = jnp.repeat(chunk_of_block, eblk)
+    return dstl + chunk_per_edge * rows
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def rgcn_aggregate_pallas(x, att, basis, aligned, rows: int,
                           num_nodes: int, interpret: bool = False):
     """Fused masked segment-SUM of basis-mixed messages over aligned blocks.
 
@@ -191,7 +200,8 @@ def rgcn_aggregate_pallas(x, att, basis, aligned, *, rows: int,
     `aligned` = (src, dst_local, etype, mask, chunk_of_block, first_of_chunk)
     from block_align_edges (device arrays). Returns [num_nodes, Cout] sums
     (divide by degree outside for mean). Gathers stay in XLA; everything
-    else is one Pallas kernel.
+    else is one Pallas kernel. Differentiable in x/att/basis (custom_vjp
+    with an XLA backward).
     """
     src, dstl, etyp, mask, chunk_of_block, first_of_chunk = aligned
     nb, cin, cout = basis.shape
@@ -202,3 +212,39 @@ def rgcn_aggregate_pallas(x, att, basis, aligned, *, rows: int,
         chunk_of_block, first_of_chunk,
         rows=rows, num_nodes=num_nodes, interpret=interpret,
     )
+
+
+def _aggregate_vjp_fwd(x, att, basis, aligned, rows, num_nodes, interpret):
+    out = rgcn_aggregate_pallas(x, att, basis, aligned, rows, num_nodes,
+                                interpret)
+    return out, (x, att, basis, aligned)
+
+
+def _aggregate_vjp_bwd(rows, num_nodes, interpret, res, g):
+    """XLA backward: the op is linear — per-edge grad is a dst-gather of g,
+    then the transposed basis-mix matmuls and segment-sums."""
+    x, att, basis, aligned = res
+    src, dstl, etyp, mask, chunk_of_block, first_of_chunk = aligned
+    nb, cin, cout = basis.shape
+    dst = _dst_global(aligned, rows)
+
+    gmsg = g[dst] * mask[:, None]                      # [Ep, Cout]
+    xs = x[src]                                        # [Ep, Cin]
+    ae = att[etyp]                                     # [Ep, B]
+    bflat = basis.reshape(nb * cin, cout)
+
+    dz = gmsg @ bflat.T                                # [Ep, B*Cin]
+    dz3 = dz.reshape(-1, nb, cin)
+    # d xs = sum_b ae_b * dz_b ; scatter back to x rows
+    dxs = jnp.einsum("eb,ebi->ei", ae, dz3)
+    dx = jax.ops.segment_sum(dxs, src, num_segments=x.shape[0])
+    # d ae = <dz_b, xs> ; scatter back to att rows
+    dae = jnp.einsum("ebi,ei->eb", dz3, xs)
+    datt = jax.ops.segment_sum(dae, etyp, num_segments=att.shape[0])
+    # d basis = z^T @ gmsg with z = ae ⊗ xs
+    z = (ae[:, :, None] * xs[:, None, :]).reshape(-1, nb * cin)
+    dbasis = (z.T @ gmsg).reshape(nb, cin, cout)
+    return dx, datt, dbasis, None
+
+
+rgcn_aggregate_pallas.defvjp(_aggregate_vjp_fwd, _aggregate_vjp_bwd)

@@ -50,7 +50,7 @@ def test_pallas_aggregate_matches_xla():
     aligned = tuple(jnp.asarray(a) for a in aligned_np[:6])
     got = rgcn_aggregate_pallas(
         jnp.asarray(x), jnp.asarray(att), jnp.asarray(basis), aligned,
-        rows=16, num_nodes=N, interpret=True)
+        16, N, True)
 
     # XLA oracle on the ORIGINAL edge list
     w = np.einsum("rb,bio->rio", att, basis)
@@ -77,9 +77,40 @@ def test_pallas_aggregate_hot_row():
     aligned = tuple(jnp.asarray(a) for a in aligned_np[:6])
     got = rgcn_aggregate_pallas(
         jnp.asarray(x), jnp.asarray(att), jnp.asarray(basis), aligned,
-        rows=8, num_nodes=N, interpret=True)
+        8, N, True)
     w = np.einsum("rb,bio->rio", att, basis)
     msg = np.einsum("ei,eio->eo", x[src], w[etyp])
     want = np.zeros((N, Cout), np.float32)
     np.add.at(want, dst, msg)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_aggregate_grad_matches_xla():
+    """custom_vjp backward equals grads of the XLA formulation."""
+    N, E, R, B, Cin, Cout = 32, 200, 3, 2, 4, 8
+    rng = np.random.default_rng(4)
+    src = rng.integers(0, N, E).astype(np.int32)
+    dst = rng.integers(0, N, E).astype(np.int32)
+    etyp = rng.integers(0, R, E).astype(np.int32)
+    mask = np.ones(E, bool)
+    x = jnp.asarray(rng.standard_normal((N, Cin)), jnp.float32)
+    att = jnp.asarray(rng.standard_normal((R, B)), jnp.float32)
+    basis = jnp.asarray(rng.standard_normal((B, Cin, Cout)), jnp.float32)
+    aligned_np = block_align_edges(src, dst, etyp, mask, N, eblk=64, rows=8)
+    aligned = tuple(jnp.asarray(a) for a in aligned_np[:6])
+
+    def loss_pallas(x, att, basis):
+        return jnp.sum(rgcn_aggregate_pallas(x, att, basis, aligned, 8, N,
+                                             True) ** 2)
+
+    def loss_xla(x, att, basis):
+        w = jnp.einsum("rb,bio->rio", att, basis)
+        msg = jnp.einsum("ei,eio->eo", x[src], w[etyp])
+        out = jax.ops.segment_sum(msg, jnp.asarray(dst), num_segments=N)
+        return jnp.sum(out ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, att, basis)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(x, att, basis)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
