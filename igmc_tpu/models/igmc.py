@@ -53,6 +53,7 @@ class IGMCConfig:
     n_side_features: int = 0
     multiply_by: float = 1.0
     conv_strategy: str = "auto"            # rgcn compute strategy
+    aggr: str = "mean"                     # rgcn aggregation (mean/sum/relmean)
 
 
 def igmc_init(key, cfg: IGMCConfig):
@@ -91,7 +92,7 @@ def igmc_forward(params, batch: GraphBatch, cfg: IGMCConfig,
     for conv_params in params["convs"]:
         x = jnp.tanh(
             rgcn_apply(conv_params, x, batch.edge_src, batch.edge_dst,
-                       batch.edge_type, emask, N, cfg.conv_strategy)
+                       batch.edge_type, emask, N, cfg.conv_strategy, cfg.aggr)
         )
         states.append(x)
     concat_states = jnp.concatenate(states, axis=1)  # [N, sum(latent)]

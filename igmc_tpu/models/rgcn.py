@@ -61,8 +61,12 @@ def rgcn_relation_weights(params):
 
 
 def rgcn_apply(params, x, edge_src, edge_dst, edge_type, edge_mask,
-               num_nodes: int, strategy: str = "auto"):
-    """Relational graph convolution over a padded edge list."""
+               num_nodes: int, strategy: str = "auto", aggr: str = "mean"):
+    """Relational graph convolution over a padded edge list.
+
+    `aggr`: 'mean' (PyG 1.4.2 RGCNConv default — mean over ALL incoming
+    edges), 'sum', or 'relmean' (Schlichtkrull 1/c_{i,r}: mean within each
+    relation, summed across relations)."""
     w = rgcn_relation_weights(params)  # [R, in, out]
     R, Cin, Cout = w.shape
     E = edge_src.shape[0]
@@ -95,8 +99,23 @@ def rgcn_apply(params, x, edge_src, edge_dst, edge_type, edge_mask,
         msg = jnp.einsum("ei,eio->eo", xs, we,
                          preferred_element_type=jnp.float32)
 
-    aggr = masked_segment_mean(msg, edge_dst, edge_mask, num_nodes)
-    out = aggr + x @ params["root"] + params["bias"]
+    if aggr == "mean":
+        agg = masked_segment_mean(msg, edge_dst, edge_mask, num_nodes)
+    elif aggr == "sum":
+        m = edge_mask.astype(msg.dtype)[:, None]
+        agg = jax.ops.segment_sum(msg * m, edge_dst, num_segments=num_nodes)
+    elif aggr == "relmean":
+        # mean within each (dst, relation) bucket, summed over relations
+        seg = edge_dst * R + edge_type
+        m = edge_mask.astype(msg.dtype)
+        s = jax.ops.segment_sum(msg * m[:, None], seg,
+                                num_segments=num_nodes * R)
+        cnt = jax.ops.segment_sum(m, seg, num_segments=num_nodes * R)
+        per_rel = s / jnp.maximum(cnt, 1.0)[:, None]
+        agg = per_rel.reshape(num_nodes, R, Cout).sum(axis=1)
+    else:
+        raise ValueError(f"unknown aggr {aggr}")
+    out = agg + x @ params["root"] + params["bias"]
     return out
 
 

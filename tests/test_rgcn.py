@@ -123,3 +123,39 @@ def test_gcn_symmetric_norm():
     A = np.array([[1, 1, 0], [1, 1, 1], [0, 1, 1]], dtype=np.float64)
     want = (A / np.sqrt(np.outer(d, d))) @ np.eye(3)
     np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+
+def test_rgcn_aggr_variants():
+    """'sum' and 'relmean' aggregation vs a dense NumPy oracle."""
+    import numpy as np
+    from igmc_tpu.models.rgcn import rgcn_apply, rgcn_init, rgcn_relation_weights
+
+    rng = np.random.default_rng(3)
+    N, E, R = 12, 40, 3
+    x = jnp.asarray(rng.standard_normal((N, 5)), jnp.float32)
+    src = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+    dst = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+    et = jnp.asarray(rng.integers(0, R, E), jnp.int32)
+    mask = jnp.asarray(rng.random(E) < 0.8)
+    params = rgcn_init(jax.random.PRNGKey(0), 5, 7, R, 2)
+    w = np.asarray(rgcn_relation_weights(params))
+
+    msg = np.einsum("ei,eio->eo", np.asarray(x)[np.asarray(src)],
+                    w[np.asarray(et)]) * np.asarray(mask)[:, None]
+    base = np.asarray(x) @ np.asarray(params["root"]) + np.asarray(params["bias"])
+
+    # sum
+    want = base.copy()
+    np.add.at(want, np.asarray(dst), msg)
+    got = rgcn_apply(params, x, src, dst, et, mask, N, "dispatch", "sum")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+    # relmean
+    want = base.copy()
+    for n in range(N):
+        for r in range(R):
+            sel = (np.asarray(dst) == n) & (np.asarray(et) == r) & np.asarray(mask)
+            if sel.any():
+                want[n] += msg[sel].sum(0) / sel.sum()
+    got = rgcn_apply(params, x, src, dst, et, mask, N, "dispatch", "relmean")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
