@@ -2,9 +2,10 @@
 
 These replace torch_scatter's CUDA scatter kernels (used inside PyG's
 MessagePassing at /root/reference/models.py:201). On TPU, scatter-add lowers
-to an XLA scatter; for the hot R-GCN path a fused Pallas kernel lives in
-ops/pallas_rgcn.py — these jnp versions are the reference semantics and the
-fallback used on CPU.
+to an XLA scatter — the production path (XLA's gather/scatter emitters beat
+anything expressible in Pallas on this stack; see kernels/README.md). A
+fused Pallas alternative for the R-GCN aggregate lives in
+kernels/rgcn_aggregate.py.
 
 All reductions are padding-safe: contributions are gated by a mask, so
 padded edges/nodes never pollute real rows.
