@@ -134,3 +134,30 @@ def test_batch_loader_covers_dataset(tmp_path):
         ys2.append(np.asarray(b.y)[np.asarray(b.graph_mask)])
     a, c = np.concatenate(ys), np.concatenate(ys2)
     assert sorted(a.tolist()) == sorted(c.tolist())
+
+
+def test_dynamic_matches_static_dataset():
+    """DynamicGraphDataset.get(i) must return the same subgraph the static
+    path extracts for link i (shared (seed, i) RNG streams)."""
+    from igmc_tpu.batching import DynamicGraphDataset, StaticGraphDataset
+
+    rng = np.random.default_rng(5)
+    M = (rng.random((40, 40)) < 0.5).astype(np.float32) * rng.integers(
+        1, 6, (40, 40)).astype(np.float32)
+    A = sp.csr_matrix(M)
+    us, vs = np.nonzero(M)
+    labels = (M[us, vs] - 1).astype(np.int64)
+    cv = np.arange(1.0, 6.0)
+    links = (us[:30], vs[:30])
+    kw = dict(h=1, sample_ratio=0.7, max_nodes_per_hop=5, class_values=cv,
+              seed=3, backend="numpy")
+    static = StaticGraphDataset(None, A, links, labels[:30], **kw)
+    dyn = DynamicGraphDataset(None, A, links, labels[:30], **kw)
+    assert len(static) == len(dyn) == 30
+    for i in (0, 7, 29):
+        a, b = static.get(i), dyn.get(i)
+        np.testing.assert_array_equal(a.node_label, b.node_label)
+        np.testing.assert_array_equal(a.src, b.src)
+        np.testing.assert_array_equal(a.dst, b.dst)
+        np.testing.assert_array_equal(a.etype, b.etype)
+        assert a.y == b.y
