@@ -366,52 +366,51 @@ class BatchLoader:
                 for gs in graph_lists]
         return stack_batches(subs)
 
-    def _produce(self, order: np.ndarray) -> Iterator[GraphBatch]:
+    def _tasks(self, order: np.ndarray):
+        """The epoch's work items: thunks producing one (super)batch each."""
         B = self.batch_size
         n = len(order)
         stop = (n // B) * B if self.drop_last else n
         starts = list(range(0, stop, B))
+        tasks = []
         if self.superbatch > 1:
             K = self.superbatch
             for g in range(0, len(starts) - len(starts) % K, K):
-                yield self._make_superbatch(
-                    [order[s : s + B] for s in starts[g : g + K]]
-                )
+                chunks = [order[s : s + B] for s in starts[g : g + K]]
+                tasks.append((self._make_superbatch, chunks))
             starts = starts[len(starts) - len(starts) % K :]
         for s in starts:
-            yield self._make_batch(order[s : s + B])
+            tasks.append((self._make_batch, order[s : s + B]))
+        return tasks
+
+    def _produce(self, order: np.ndarray) -> Iterator[GraphBatch]:
+        for fn, arg in self._tasks(order):
+            yield fn(arg)
 
     def __iter__(self) -> Iterator[GraphBatch]:
         order = self._order()
         self.epoch += 1
-        gen = self._produce(order)
         if self.prefetch <= 0:
-            for b in gen:
+            for b in self._produce(order):
                 yield self._put(b)
             return
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        _SENTINEL = object()
-        err: List[BaseException] = []
+        # Collate+upload each work item on a small thread pool, preserving
+        # batch order via a bounded deque of futures — extraction/collation
+        # (numpy, GIL-releasing) and device_put overlap the training
+        # dispatches on the main thread.
+        import concurrent.futures as cf
+        from collections import deque
 
-        def worker():
-            try:
-                for b in gen:
-                    q.put(self._put(b))
-            except BaseException as e:  # surface extraction errors in main thread
-                err.append(e)
-            finally:
-                q.put(_SENTINEL)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            yield item
-        t.join()
-        if err:
-            raise err[0]
+        tasks = self._tasks(order)
+        with cf.ThreadPoolExecutor(max_workers=max(1, min(self.prefetch, 4))) as ex:
+            pending: deque = deque()
+            i = 0
+            while i < len(tasks) or pending:
+                while i < len(tasks) and len(pending) < self.prefetch + 1:
+                    fn, arg = tasks[i]
+                    pending.append(ex.submit(lambda f=fn, a=arg: self._put(f(a))))
+                    i += 1
+                yield pending.popleft().result()
 
     def _put(self, batch: GraphBatch):
         if not self.device_put:

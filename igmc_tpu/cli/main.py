@@ -88,6 +88,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", default="igmc",
                    choices=["igmc", "gnn", "dgcnn", "dgcnn_rs"],
                    help="model family (reference default: IGMC)")
+    p.add_argument("--aggr", default="mean", choices=["mean", "sum", "relmean"],
+                   help="R-GCN aggregation. 'mean' matches the reference's "
+                        "pinned PyG 1.4.2 RGCNConv; 'sum' matches earlier "
+                        "PyG (paper-era) and measures closer to the paper's "
+                        "RMSE (see PARITY.md)")
     p.add_argument("--n-devices", type=int, default=0,
                    help="data-parallel devices (0 = single device)")
     p.add_argument("--extract-backend", default="auto",
@@ -243,7 +248,7 @@ def build_model(args, split, n_features):
             adj_dropout=args.adj_dropout,
             force_undirected=args.force_undirected,
             side_features=args.use_features, n_side_features=n_features,
-            multiply_by=multiply_by,
+            multiply_by=multiply_by, aggr=args.aggr,
         )
         params = igmc_init(key, cfg)
         fwd = lambda p, b, key=None, training=False: igmc_forward(
