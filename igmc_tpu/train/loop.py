@@ -252,7 +252,6 @@ def train_multiple_epochs(
     res_dir: Optional[str] = None,
     seed: int = 1,
     sharding=None,
-    num_graphs_pad: Optional[int] = None,
     progress: bool = True,
     profile_dir: Optional[str] = None,
     superbatch: int = 8,
