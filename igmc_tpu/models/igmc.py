@@ -54,6 +54,7 @@ class IGMCConfig:
     multiply_by: float = 1.0
     conv_strategy: str = "auto"            # rgcn compute strategy
     aggr: str = "mean"                     # rgcn aggregation (mean/sum/relmean)
+    compute_dtype: Optional[str] = None    # e.g. "bfloat16" for the trunk
 
 
 def igmc_init(key, cfg: IGMCConfig):
@@ -92,7 +93,8 @@ def igmc_forward(params, batch: GraphBatch, cfg: IGMCConfig,
     for conv_params in params["convs"]:
         x = jnp.tanh(
             rgcn_apply(conv_params, x, batch.edge_src, batch.edge_dst,
-                       batch.edge_type, emask, N, cfg.conv_strategy, cfg.aggr)
+                       batch.edge_type, emask, N, cfg.conv_strategy, cfg.aggr,
+                       jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None)
         )
         states.append(x)
     concat_states = jnp.concatenate(states, axis=1)  # [N, sum(latent)]
