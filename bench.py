@@ -109,6 +109,20 @@ def main():
     edges_processed = 4 * EDGE_PAD  # 4 R-GCN layers per forward
     eps = edges_processed / dt
 
+    # optional bf16 trunk (same model, compute_dtype="bfloat16")
+    cfg16 = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0,
+                       compute_dtype="bfloat16")
+    f16 = jax.jit(lambda p, b: igmc_forward(p, b, cfg16, None, False))
+    out = f16(params, batch)
+    jax.block_until_ready(out)
+    dt16 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = f16(params, batch)
+        jax.block_until_ready(out)
+        dt16 = min(dt16, (time.perf_counter() - t0) / n_iter)
+
     bw = hbm_bandwidth_bytes_per_sec(dev)
     bytes_per_edge = 4 * C + 2 * 4 * C + 12
     roofline = bw / bytes_per_edge
@@ -125,6 +139,7 @@ def main():
             "layers": 4, "feature_width": C,
             "roofline_edges_per_sec": round(roofline, 1),
             "baseline_semantics": "fraction of HBM roofline (target >= 0.8)",
+            "bf16_trunk_edges_per_sec": round(edges_processed / dt16, 1),
             **bench_extraction(),
         },
     }
