@@ -209,9 +209,13 @@ def make_ep_forward(cfg: IGMCConfig, mesh: Mesh):
             z = (ae[:, :, None] * xs[:, None, :]).reshape(-1, nb * Cin)
             msg = z @ conv["basis"].reshape(nb * Cin, Cout)  # MXU
             s = jax.ops.segment_sum(msg * emf[:, None], edst, num_segments=Nl)
-            cnt = jax.ops.segment_sum(emf, edst, num_segments=Nl)
-            aggr = s / jnp.maximum(cnt, 1.0)[:, None]
-            x = jnp.tanh(aggr + x @ conv["root"] + conv["bias"])
+            if cfg.aggr == "mean":
+                cnt = jax.ops.segment_sum(emf, edst, num_segments=Nl)
+                s = s / jnp.maximum(cnt, 1.0)[:, None]
+            elif cfg.aggr != "sum":
+                raise NotImplementedError(
+                    f"EP path supports aggr mean/sum, not {cfg.aggr}")
+            x = jnp.tanh(s + x @ conv["root"] + conv["bias"])
             states.append(x)
         cs = jnp.concatenate(states, axis=1)                 # [Nl, sum(latent)]
         cs_full = lax.all_gather(cs, "data", tiled=True)     # [N, sum(latent)]

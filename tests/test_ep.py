@@ -101,3 +101,16 @@ def test_hash_edge_keep_deterministic_and_unbiased():
     assert abs(rate - 0.7) < 0.01
     k3 = hash_edge_keep(jnp.uint32(8), ids, 0.3)
     assert not bool(jnp.all(k1 == k3))
+
+
+def test_ep_forward_matches_single_device_sum_aggr():
+    batch = make_batch(seed=9)
+    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0, aggr="sum")
+    params = igmc_init(jax.random.PRNGKey(2), cfg)
+    ref = igmc_forward(params, jax.device_put(batch), cfg, None, False)
+    mesh = make_mesh(n_data=8)
+    ep = partition_batch(batch, 8)
+    fwd = make_ep_forward(cfg, mesh)
+    out = fwd(params, jax.device_put(ep), jnp.uint32(0), training=False)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(-1), np.asarray(ref), rtol=2e-5, atol=2e-5)
