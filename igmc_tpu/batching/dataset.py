@@ -11,7 +11,7 @@ Replaces the reference's PyG InMemoryDataset / Dataset pair
     ml_1m-scale data).
   * BatchLoader — shuffles per epoch (seeded), collates fixed-size padded
     batches on a geometric bucket ladder, and prefetches to device on a
-    background thread (replaces DataLoader workers + per-batch H2D copies).
+    thread pool (replaces DataLoader workers + per-batch H2D copies).
 
 `max_num` subsampling uses np.random.seed(123) permutation exactly like the
 reference (/root/reference/util_functions.py:84-90).
@@ -20,8 +20,6 @@ reference (/root/reference/util_functions.py:84-90).
 from __future__ import annotations
 
 import os
-import queue
-import threading
 from typing import Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -299,9 +297,9 @@ class BatchLoader:
         # Dynamic datasets: sample a few graphs to estimate.
         n = len(ds)
         idx = np.linspace(0, n - 1, num=min(64, n), dtype=np.int64)
-        sizes = [(ds.get(int(i)).num_nodes, ds.get(int(i)).num_edges) for i in idx]
-        max_n = max(s[0] for s in sizes) * self.batch_size
-        max_e = max(s[1] for s in sizes) * self.batch_size
+        samples = [ds.get(int(i)) for i in idx]
+        max_n = max(g.num_nodes for g in samples) * self.batch_size
+        max_e = max(g.num_edges for g in samples) * self.batch_size
         return pad_ladder(max(max_n, 64)), pad_ladder(max(max_e, 128), base=128)
 
     def __len__(self):
@@ -317,11 +315,13 @@ class BatchLoader:
         rng = np.random.default_rng(np.random.SeedSequence([self.seed, self.epoch]))
         return rng.permutation(n).astype(np.int64)
 
-    def _make_batch(self, idxs: np.ndarray) -> GraphBatch:
+    def _fetch(self, idxs: np.ndarray):
         if hasattr(self.dataset, "get_many"):
-            graphs = self.dataset.get_many(idxs)
-        else:
-            graphs = [self.dataset.get(int(i)) for i in idxs]
+            return self.dataset.get_many(idxs)
+        return [self.dataset.get(int(i)) for i in idxs]
+
+    def _make_batch(self, idxs: np.ndarray) -> GraphBatch:
+        graphs = self._fetch(idxs)
         if self.n_devices > 1:
             # data parallelism: D equal sub-batches stacked on a device axis
             from ..parallel.dp import split_for_devices
@@ -342,12 +342,7 @@ class BatchLoader:
         covers K training steps (amortizes per-step host/tunnel overhead)."""
         from ..parallel.dp import stack_batches
 
-        graph_lists = []
-        for idxs in idx_chunks:
-            if hasattr(self.dataset, "get_many"):
-                graph_lists.append(self.dataset.get_many(idxs))
-            else:
-                graph_lists.append([self.dataset.get(int(i)) for i in idxs])
+        graph_lists = [self._fetch(idxs) for idxs in idx_chunks]
         # One FIXED shape for every superbatch (the ladder maximum): the
         # scanned step then compiles exactly once; the padding waste is ~1.5x
         # device compute, far cheaper than per-shape recompiles.

@@ -36,6 +36,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
@@ -272,8 +273,6 @@ def make_ep_train_step(cfg: IGMCConfig, optimizer, ARR: float, mesh: Mesh):
         (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, ep, seed)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        import optax
-
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, n
 
