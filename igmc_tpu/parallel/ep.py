@@ -139,14 +139,17 @@ def partition_batch(batch: GraphBatch, n_devices: int,
     src = np.asarray(batch.edge_src)
     etype = np.asarray(batch.edge_type)
     pair = np.asarray(batch.edge_canon)
-    for d in range(D):
-        idx = np.nonzero(owner == d)[0]
-        k = len(idx)
-        out.edge_src[d, :k] = src[idx]
-        out.edge_dst[d, :k] = dst[idx] - d * Nl
-        out.edge_type[d, :k] = etype[idx]
-        out.edge_pair[d, :k] = pair[idx]
-        out.edge_mask[d, :k] = True
+    # One stable sort by owner, then per-device slots = rank within owner.
+    real = np.nonzero(owner >= 0)[0]
+    order = real[np.argsort(owner[real], kind="stable")]
+    own = owner[order]
+    starts = np.searchsorted(own, np.arange(D))
+    slot = np.arange(len(order)) - starts[own]
+    out.edge_src[own, slot] = src[order]
+    out.edge_dst[own, slot] = dst[order] - own * Nl
+    out.edge_type[own, slot] = etype[order]
+    out.edge_pair[own, slot] = pair[order]
+    out.edge_mask[own, slot] = True
     return out
 
 
