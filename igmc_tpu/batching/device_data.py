@@ -1,0 +1,181 @@
+"""Device-resident datasets: upload the packed subgraphs ONCE, assemble
+padded batches ON DEVICE from graph-id vectors.
+
+Host-side collation (batch.py collate) re-uploads every padded batch —
+~4-8 MB per superbatch. On TPU the right design keeps the packed
+structure-of-arrays (batching/dataset.py _PackedGraphs) resident in HBM and
+builds each batch inside jit with ragged-to-padded gathers; the only
+per-step host->device traffic is the [B] int32 graph-id vector. Besides
+bandwidth, this also removes the per-upload host bookkeeping some remote
+backends never release (see memory: axon client leaks uploaded bytes).
+
+The assembled GraphBatch is semantically identical to the host collate
+(same node order, same forward/reverse edge pairing for force_undirected
+dropout, same targets/masks); the edge LAYOUT differs (all forward edges
+first, then all reverse) which is irrelevant to the order-invariant
+segment aggregation — igmc_forward outputs match to float tolerance
+(tests/test_device_data.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .batch import GraphBatch
+
+
+class DeviceDataset:
+    """The packed subgraph arrays, device-resident, plus static metadata."""
+
+    def __init__(self, packed, node_pad: int, edge_pad: int,
+                 batch_graphs: int):
+        """`packed` is a batching.dataset._PackedGraphs; `edge_pad` counts
+        DIRECTED edges (2x stored forward edges), matching the host ladder."""
+        if edge_pad % 2:
+            raise ValueError("edge_pad must be even (fwd+rev halves)")
+        self.node_pad = int(node_pad)
+        self.edge_pad = int(edge_pad)
+        self.batch_graphs = int(batch_graphs)
+        self.num_graphs = len(packed)
+
+        put = jax.device_put
+        self.node_label = put(packed.node_label.astype(np.int32))
+        self.src = put(packed.src.astype(np.int32))
+        self.dst = put(packed.dst.astype(np.int32))   # already +num_u local
+        self.etype = put(packed.etype.astype(np.int32))
+        self.node_off = put(packed.node_offsets.astype(np.int32))
+        self.edge_off = put(packed.edge_offsets.astype(np.int32))
+        self.num_u = put(packed.num_u.astype(np.int32))
+        self.y = put(packed.y.astype(np.float32))
+        self.u_feat = (put(packed.u_feat) if packed.u_feat is not None
+                       else None)
+        self.v_feat = (put(packed.v_feat) if packed.v_feat is not None
+                       else None)
+        # host copies for the loader's shape planning
+        self._node_counts = np.diff(packed.node_offsets)
+        self._edge_counts = 2 * np.diff(packed.edge_offsets)
+
+    def node_counts(self):
+        return self._node_counts
+
+    def edge_counts(self):
+        return self._edge_counts
+
+    def __len__(self):
+        return self.num_graphs
+
+
+def _dd_flatten(dd: "DeviceDataset"):
+    children = (dd.node_label, dd.src, dd.dst, dd.etype, dd.node_off,
+                dd.edge_off, dd.num_u, dd.y, dd.u_feat, dd.v_feat)
+    aux = (dd.node_pad, dd.edge_pad, dd.batch_graphs, dd.num_graphs)
+    return children, aux
+
+
+def _dd_unflatten(aux, children):
+    dd = DeviceDataset.__new__(DeviceDataset)
+    (dd.node_label, dd.src, dd.dst, dd.etype, dd.node_off, dd.edge_off,
+     dd.num_u, dd.y, dd.u_feat, dd.v_feat) = children
+    dd.node_pad, dd.edge_pad, dd.batch_graphs, dd.num_graphs = aux
+    dd._node_counts = dd._edge_counts = None
+    return dd
+
+
+jax.tree_util.register_pytree_node(DeviceDataset, _dd_flatten, _dd_unflatten)
+
+
+def _ragged_slots(counts, starts, pad):
+    """Map each padded slot to (batch graph idx, local offset, valid)."""
+    cum = jnp.cumsum(counts)                      # [B]
+    i = jnp.arange(pad, dtype=jnp.int32)
+    b = jnp.searchsorted(cum, i, side="right").astype(jnp.int32)  # [pad]
+    valid = b < counts.shape[0]
+    b = jnp.minimum(b, counts.shape[0] - 1)
+    local = i - starts[b]
+    valid = jnp.logical_and(valid, local < counts[b])
+    return b, jnp.where(valid, local, 0), valid
+
+
+def assemble_batch(dd: DeviceDataset, gids) -> GraphBatch:
+    """Build one padded GraphBatch on device from graph ids [B] (int32;
+    -1 entries = padding graphs). jit-able; shapes are static from `dd`."""
+    B = dd.batch_graphs
+    node_pad, edge_pad = dd.node_pad, dd.edge_pad
+    ef_pad = edge_pad // 2
+
+    gmask = gids >= 0
+    g = jnp.where(gmask, gids, 0)
+
+    counts_n = (dd.node_off[g + 1] - dd.node_off[g]) * gmask
+    counts_e = (dd.edge_off[g + 1] - dd.edge_off[g]) * gmask  # forward edges
+    starts_n = jnp.cumsum(counts_n) - counts_n               # batch-local
+    starts_e = jnp.cumsum(counts_e) - counts_e
+
+    # nodes
+    nb, nlocal, nvalid = _ragged_slots(counts_n, starts_n, node_pad)
+    nsrc = dd.node_off[g[nb]] + nlocal
+    node_label = jnp.where(nvalid, dd.node_label[nsrc], 0).astype(jnp.int32)
+    node2graph = jnp.where(nvalid, nb, 0).astype(jnp.int32)
+
+    # forward edges
+    eb, elocal, evalid = _ragged_slots(counts_e, starts_e, ef_pad)
+    epos = dd.edge_off[g[eb]] + elocal
+    base = starts_n[eb]
+    f_src = jnp.where(evalid, base + dd.src[epos], 0).astype(jnp.int32)
+    f_dst = jnp.where(evalid, base + dd.dst[epos], 0).astype(jnp.int32)
+    f_type = jnp.where(evalid, dd.etype[epos], 0).astype(jnp.int32)
+
+    edge_src = jnp.concatenate([f_src, f_dst])
+    edge_dst = jnp.concatenate([f_dst, f_src])
+    edge_type = jnp.concatenate([f_type, f_type])
+    edge_mask = jnp.concatenate([evalid, evalid])
+    fwd_ids = jnp.arange(ef_pad, dtype=jnp.int32)
+    edge_canon = jnp.concatenate([fwd_ids, fwd_ids])  # rev maps to fwd copy
+
+    target_u = starts_n.astype(jnp.int32)
+    target_v = (starts_n + dd.num_u[g]).astype(jnp.int32)
+    y = jnp.where(gmask, dd.y[g], 0.0).astype(jnp.float32)
+
+    return GraphBatch(
+        node_label=node_label, edge_src=edge_src, edge_dst=edge_dst,
+        edge_type=edge_type, edge_canon=edge_canon, node2graph=node2graph,
+        node_mask=nvalid, edge_mask=edge_mask, y=y, graph_mask=gmask,
+        target_u=target_u, target_v=target_v,
+        u_feat=(dd.u_feat[g] * gmask[:, None] if dd.u_feat is not None
+                else None),
+        v_feat=(dd.v_feat[g] * gmask[:, None] if dd.v_feat is not None
+                else None),
+    )
+
+
+def capacity_bound(node_counts, edge_counts, batch_size: int):
+    """Static pads valid for EVERY possible batch of `batch_size` graphs:
+    the sum of the `batch_size` largest node/edge counts (rounded up to 8 /
+    even). Safe under any epoch shuffle."""
+    k = min(batch_size, len(node_counts))
+    max_n = int(np.sort(node_counts)[-k:].sum())
+    max_e = int(np.sort(edge_counts)[-k:].sum())
+    rnd = lambda v, m: int(-(-max(v, m) // m) * m)
+    return rnd(max_n, 8), rnd(max_e, 16)
+
+
+def plan_gid_epoch(dd: DeviceDataset, order: np.ndarray, superbatch: int):
+    """Split a permutation of graph ids into [K, B] superbatch id blocks and
+    a remainder list of [B] blocks, padding short batches with -1."""
+    B = dd.batch_graphs
+    n = len(order)
+    blocks = []
+    for s in range(0, n, B):
+        blk = order[s : s + B].astype(np.int32)
+        if len(blk) < B:
+            blk = np.concatenate([blk, np.full(B - len(blk), -1, np.int32)])
+        blocks.append(blk)
+    K = superbatch if superbatch > 1 else 1
+    n_super = len(blocks) // K
+    supers = [np.stack(blocks[i * K : (i + 1) * K]) for i in range(n_super)]
+    rest = blocks[n_super * K :]
+    return supers, rest

@@ -131,6 +131,59 @@ def make_scan_train_step(forward: Callable, optimizer, ARR: float = 0.0,
     return steps
 
 
+def make_device_train_step(forward: Callable, optimizer, ARR: float = 0.0,
+                           with_arr_params: bool = True):
+    """Device-resident scan step: xs are [K, B] graph-id blocks; each scan
+    iteration ASSEMBLES its padded batch on device (batching/device_data.py)
+    and runs one optimizer step. Per-dispatch upload = one int32 id block
+    (~KBs), the key enabler on remote/tunneled backends whose host->device
+    path is slow or leaky."""
+    from ..batching.device_data import assemble_batch
+
+    loss_fn = _make_loss_fn(forward, ARR, with_arr_params)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def steps(params, opt_state, dd, gid_block, key, step0):
+        K = gid_block.shape[0]
+
+        def body(carry, xs):
+            params, opt_state = carry
+            gids, k_idx = xs
+            batch = assemble_batch(dd, gids)
+            kk = jax.random.fold_in(key, step0 + k_idx)
+            (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, kk
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, n)
+
+        (params, opt_state), (losses, ns) = jax.lax.scan(
+            body, (params, opt_state), (gid_block, jnp.arange(K))
+        )
+        return params, opt_state, jnp.sum(losses * ns), jnp.sum(ns)
+
+    return steps
+
+
+def make_device_eval_step(forward: Callable):
+    from ..batching.device_data import assemble_batch
+
+    @jax.jit
+    def steps(params, dd, gid_block):
+        def body(_, gids):
+            batch = assemble_batch(dd, gids)
+            preds = forward(params, batch, key=None, training=False)
+            gmask = batch.graph_mask.astype(jnp.float32)
+            sse = jnp.sum(((preds - batch.y) ** 2) * gmask)
+            return None, (sse, gmask.sum(), preds)
+
+        _, (sses, cnts, preds) = jax.lax.scan(body, None, gid_block)
+        return jnp.sum(sses), jnp.sum(cnts), preds
+
+    return steps
+
+
 def make_eval_step(forward: Callable):
     """Jitted eval: returns (squared-error sum, count, raw predictions)."""
 
@@ -187,6 +240,43 @@ def train_epoch(step_fn, state: TrainState, loader: BatchLoader, key,
     if total is None:
         return 0.0
     return float(total) / max(dataset_size, 1)
+
+
+def device_train_epoch(dev_step, state: TrainState, dd, order, key,
+                       dataset_size: int, superbatch: int):
+    """One epoch over a device-resident dataset: per dispatch, upload one
+    [K, B] graph-id block; everything else happens on device."""
+    from ..batching.device_data import plan_gid_epoch
+
+    supers, rest = plan_gid_epoch(dd, order, superbatch)
+    total = None
+    params, opt_state = state.params, state.opt_state
+    i = 0
+    for blk in supers + [r[None] for r in rest]:
+        params, opt_state, contrib, _ = dev_step(
+            params, opt_state, dd, jnp.asarray(blk),
+            key, jnp.asarray(i, jnp.int32))
+        i += blk.shape[0]
+        total = contrib if total is None else total + contrib
+    state.params, state.opt_state = params, opt_state
+    if total is None:
+        return 0.0
+    return float(total) / max(dataset_size, 1)
+
+
+def device_eval_rmse(dev_eval, params, dd, superbatch: int = 8) -> float:
+    from ..batching.device_data import plan_gid_epoch
+
+    order = np.arange(len(dd), dtype=np.int64)
+    supers, rest = plan_gid_epoch(dd, order, superbatch)
+    sse = cnt = None
+    for blk in supers + [r[None] for r in rest]:
+        s, c, _ = dev_eval(params, dd, jnp.asarray(blk))
+        sse = s if sse is None else sse + s
+        cnt = c if cnt is None else cnt + c
+    if sse is None:
+        return 0.0
+    return math.sqrt(float(sse) / max(float(cnt), 1.0))
 
 
 def eval_rmse(eval_fn, params, loader: BatchLoader) -> float:
@@ -285,14 +375,35 @@ def train_multiple_epochs(
         state.opt_state = jax.device_put(opt_state, param_shd)
 
     sb = superbatch if (sharding is None and mesh is None) else 0
-    train_loader = BatchLoader(
-        train_dataset, batch_size, shuffle=True, seed=seed, sharding=sharding,
-        superbatch=sb, n_devices=n_dev,
-    )
-    test_loader = BatchLoader(
-        test_dataset, batch_size, shuffle=False, sharding=sharding,
-        node_ladder=None, edge_ladder=None, superbatch=sb, n_devices=n_dev,
-    )
+
+    # Device-resident fast path: static (packed) datasets on one device keep
+    # the whole dataset in HBM and assemble batches on device; per dispatch
+    # only a [K, B] graph-id block crosses host->device.
+    dd_train = dd_test = None
+    if mesh is None and sharding is None and sb > 1 \
+            and hasattr(train_dataset, "packed") \
+            and hasattr(test_dataset, "packed"):
+        from ..batching.device_data import DeviceDataset, capacity_bound
+
+        np_, ep_ = capacity_bound(train_dataset.node_counts(),
+                                  train_dataset.edge_counts(), batch_size)
+        dd_train = DeviceDataset(train_dataset.packed, np_, ep_, batch_size)
+        np2, ep2 = capacity_bound(test_dataset.node_counts(),
+                                  test_dataset.edge_counts(), batch_size)
+        dd_test = DeviceDataset(test_dataset.packed, np2, ep2, batch_size)
+        dev_step_fn = make_device_train_step(forward, optimizer, ARR)
+        dev_eval_fn = make_device_eval_step(forward)
+
+    train_loader = test_loader = None
+    if dd_train is None:
+        train_loader = BatchLoader(
+            train_dataset, batch_size, shuffle=True, seed=seed,
+            sharding=sharding, superbatch=sb, n_devices=n_dev,
+        )
+        test_loader = BatchLoader(
+            test_dataset, batch_size, shuffle=False, sharding=sharding,
+            node_ladder=None, edge_ladder=None, superbatch=sb, n_devices=n_dev,
+        )
 
     if mesh is not None:
         fwd = forward
@@ -300,7 +411,7 @@ def train_multiple_epochs(
                                      param_shd)
         scan_step_fn = None
         eval_fn = make_dp_eval_step(fwd, mesh, sharding, param_shd)
-    else:
+    elif dd_train is None:
         step_fn = make_train_step(forward, optimizer, ARR)
         scan_step_fn = (make_scan_train_step(forward, optimizer, ARR)
                         if sb > 1 else None)
@@ -337,15 +448,28 @@ def train_multiple_epochs(
         profiling = profile_dir and epoch == start_epoch + 1
         if profiling:
             jax.profiler.start_trace(profile_dir)
-        train_loss = train_epoch(
-            step_fn, state, train_loader, epoch_key, len(train_dataset),
-            scan_step_fn=scan_step_fn,
-        )
+        if dd_train is not None:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([seed, epoch]))
+            order = rng.permutation(len(train_dataset)).astype(np.int64)
+            train_loss = device_train_epoch(
+                dev_step_fn, state, dd_train, order, epoch_key,
+                len(train_dataset), sb,
+            )
+        else:
+            train_loss = train_epoch(
+                step_fn, state, train_loader, epoch_key, len(train_dataset),
+                scan_step_fn=scan_step_fn,
+            )
         if profiling:
             jax.profiler.stop_trace()
             print(f"jax.profiler trace of epoch {epoch} written to {profile_dir}")
         if epoch % test_freq == 0:
-            rmses.append(eval_rmse(eval_fn, state.params, test_loader))
+            if dd_test is not None:
+                rmses.append(device_eval_rmse(dev_eval_fn, state.params,
+                                              dd_test, sb))
+            else:
+                rmses.append(eval_rmse(eval_fn, state.params, test_loader))
         else:
             rmses.append(float("nan"))
         state.epoch = epoch
