@@ -117,9 +117,14 @@ def arr_regularizer(params):
     """Adjacent-rating regularizer: sum over layers of ||W_{r+1} - W_r||^2.
 
     Reads (att, basis) exactly as /root/reference/train_eval.py:167-174.
+    Non-relational convs (GCN trunks of GNN/DGCNN) carry no relation
+    weights and contribute nothing — the reference would crash there
+    (models.py:39-44 dead paths); we skip instead.
     """
     reg = 0.0
     for conv_params in params["convs"]:
+        if "att" not in conv_params or "basis" not in conv_params:
+            continue
         w = rgcn_relation_weights(conv_params)  # [R, in, out]
         reg = reg + jnp.sum((w[1:] - w[:-1]) ** 2)
     return reg

@@ -196,3 +196,17 @@ def test_visualize_writes_pdf(tmp_path):
     visualize(fwd, params, DS(), str(tmp_path), "unittest", cv, batch_size=10)
     pdfs = [f for f in os.listdir(tmp_path) if f.endswith(".pdf")]
     assert pdfs, "visualize() produced no PDF"
+
+
+def test_arr_regularizer_skips_nonrelational_convs():
+    """ARR must not crash on GCN trunks (GNN/DGCNN) and must count DGCNN_RS
+    relation weights (regression: KeyError 'att' in CLI --model gnn)."""
+    from igmc_tpu.models.igmc import arr_regularizer
+
+    gnn_cfg = GNNConfig(num_features=4)
+    gnn_params = gnn_init(jax.random.PRNGKey(0), gnn_cfg)
+    assert float(arr_regularizer(gnn_params)) == 0.0
+
+    rs_cfg = DGCNNConfig(num_features=4, relational=True, num_relations=5)
+    rs_params = dgcnn_init(jax.random.PRNGKey(0), rs_cfg)
+    assert float(arr_regularizer(rs_params)) > 0.0
