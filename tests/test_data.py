@@ -155,3 +155,25 @@ def test_resume_shifts_epoch_range(tmp_path):
         progress=False)
     assert state.epoch == 4
     assert np.isfinite(rmse)
+
+
+def test_summarize_fdy_parses_results(tmp_path):
+    """scripts/summarize_fdy.py consumes the log.txt format — a de-facto
+    stable API shared with the reference's summarizer."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "summarize_fdy", os.path.join(os.path.dirname(__file__), "..",
+                                      "scripts", "summarize_fdy.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    for seed, rmse in ((1, 0.88), (2, 0.90), (3, 0.86)):
+        d = tmp_path / f"flixster_s{seed}_testmode"
+        d.mkdir()
+        (d / "log.txt").write_text(
+            "Epoch 39, train loss 0.8000, test rmse 0.999999\n"
+            f"Epoch ensemble of range(10, 40, 10), train loss 0.0000, "
+            f"test rmse {rmse:.6f}\n")
+    out = mod.summarize(str(tmp_path), datasets=("flixster",))
+    assert np.allclose(sorted(out["flixster"]), [0.86, 0.88, 0.90])
