@@ -79,6 +79,17 @@ def _register_pytree():
 _register_pytree()
 
 
+def topk_sum_bound(node_counts, edge_counts, batch_size: int):
+    """Worst-case node/edge totals over ANY batch of `batch_size` graphs:
+    the sum of the `batch_size` largest per-graph counts. Shared by the host
+    bucket-ladder estimate and the device-resident capacity pads so the two
+    paths can never disagree on what 'fits'."""
+    k = min(batch_size, len(node_counts))
+    max_n = int(np.sort(node_counts)[-k:].sum())
+    max_e = int(np.sort(edge_counts)[-k:].sum())
+    return max_n, max_e
+
+
 def pad_ladder(max_val: int, base: int = 64, ratio: float = 1.5) -> List[int]:
     """Geometric ladder of pad sizes covering [base, >= max_val].
 

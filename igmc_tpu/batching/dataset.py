@@ -25,8 +25,8 @@ from typing import Iterator, List, Optional, Sequence
 import numpy as np
 
 from ..graphs.csr import BipartiteCSR
-from ..graphs.extract import Subgraph, extract_many, extract_subgraph
-from .batch import GraphBatch, collate, pad_ladder, bucket_for
+from ..graphs.extract import Subgraph, extract_many
+from .batch import GraphBatch, collate, pad_ladder, bucket_for, topk_sum_bound
 
 
 def _apply_max_num(links, labels, max_num):
@@ -142,7 +142,14 @@ class StaticGraphDataset:
     ):
         self.root = root
         links, labels = _apply_max_num(links, labels, max_num)
-        name = "data.npz" if max_num is None else f"data_{max_num}.npz"
+        # The cache key covers every input that changes the extracted
+        # subgraphs (the reference's fixed data.pt silently served stale
+        # caches when --hop/--max-nodes-per-hop/--debug changed between
+        # runs; /root/reference/util_functions.py:95-99).
+        key = (f"h{h}_sr{sample_ratio:g}_mnph{max_nodes_per_hop}"
+               f"_f{int(u_features is not None)}_s{seed}_n{len(links[0])}")
+        name = (f"data_{key}.npz" if max_num is None
+                else f"data_{key}_m{max_num}.npz")
         cache = os.path.join(root, "processed", name) if root else None
         if cache and os.path.isfile(cache):
             self.packed = _PackedGraphs.load(cache)
@@ -215,20 +222,19 @@ class DynamicGraphDataset:
         return len(self.links[0])
 
     def get(self, i: int) -> Subgraph:
-        rng = np.random.default_rng(np.random.SeedSequence([self.seed, i]))
-        return extract_subgraph(
-            int(self.links[0][i]), int(self.links[1][i]), self.A, self.h,
-            self.sample_ratio, self.max_nodes_per_hop,
-            self.u_features, self.v_features, self.class_values,
-            int(self.labels[i]), rng,
-        )
+        # Route through get_many so get(i) == get_many([...i...])[i] exactly,
+        # for whichever backend is active (the RNG stream is keyed by the
+        # global dataset index in both cases).
+        return self.get_many(np.asarray([i]))[0]
 
     def get_many(self, idxs) -> List[Subgraph]:
+        idxs = np.asarray(idxs)
         links = (self.links[0][idxs], self.links[1][idxs])
         return extract_many(
             links, self.labels[idxs], self.A, self.h, self.sample_ratio,
             self.max_nodes_per_hop, self.u_features, self.v_features,
             self.class_values, seed=self.seed, backend=self.backend,
+            indices=idxs,
         )
 
 
@@ -285,11 +291,7 @@ class BatchLoader:
         if hasattr(ds, "node_counts"):
             nc, ec = ds.node_counts(), ds.edge_counts()
             if len(nc):
-                # Upper-bound one batch by batch_size * a high percentile,
-                # capped by the true max sum (sorted top-k).
-                k = min(self.batch_size, len(nc))
-                max_n = int(np.sort(nc)[-k:].sum())
-                max_e = int(np.sort(ec)[-k:].sum())
+                max_n, max_e = topk_sum_bound(nc, ec, self.batch_size)
                 return (
                     pad_ladder(max(max_n, 64)),
                     pad_ladder(max(max_e, 128), base=128),

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .batch import GraphBatch
+from .batch import GraphBatch, topk_sum_bound
 
 
 class DeviceDataset:
@@ -153,12 +153,9 @@ def assemble_batch(dd: DeviceDataset, gids) -> GraphBatch:
 
 
 def capacity_bound(node_counts, edge_counts, batch_size: int):
-    """Static pads valid for EVERY possible batch of `batch_size` graphs:
-    the sum of the `batch_size` largest node/edge counts (rounded up to 8 /
-    even). Safe under any epoch shuffle."""
-    k = min(batch_size, len(node_counts))
-    max_n = int(np.sort(node_counts)[-k:].sum())
-    max_e = int(np.sort(edge_counts)[-k:].sum())
+    """Static pads valid for EVERY possible batch of `batch_size` graphs
+    (topk_sum_bound rounded up to 8 / 16). Safe under any epoch shuffle."""
+    max_n, max_e = topk_sum_bound(node_counts, edge_counts, batch_size)
     rnd = lambda v, m: int(-(-max(v, m) // m) * m)
     return rnd(max_n, 8), rnd(max_e, 16)
 

@@ -349,6 +349,20 @@ def main(argv=None):
             checkpoint_path(ckpt_dir, "model", x)
             for x in range(start_epoch, end_epoch + 1, interval)
         ]
+        # The reference crashed here when --save-interval skipped epochs in
+        # the ensemble range (e.g. ml_1m wants every 5 but the default saves
+        # every 10). Ensemble whatever was actually saved instead.
+        missing = [c for c in checkpoints if not os.path.isfile(c)]
+        if missing:
+            checkpoints = [c for c in checkpoints if os.path.isfile(c)]
+            if not checkpoints:
+                raise FileNotFoundError(
+                    f"no checkpoints in ensemble range "
+                    f"range({start_epoch}, {end_epoch + 1}, {interval}) under "
+                    f"{ckpt_dir}; train with --save-interval <= {interval}")
+            print(f"ensemble: {len(missing)} checkpoint(s) in the range were "
+                  f"never saved (--save-interval?); using {len(checkpoints)}: "
+                  + ", ".join(os.path.basename(c) for c in checkpoints))
         if args.transfer:
             epoch_info = "transfer {}, ensemble of range({}, {}, {})".format(
                 args.transfer, start_epoch, end_epoch, interval)

@@ -127,7 +127,9 @@ def _user_features_100k(data_dir, u_dict, num_users, normalize_age=False):
         data_dir + "/u.user", sep=r"|", header=None, names=users_headers,
         engine="python", encoding="latin-1",
     )
-    occupation = set(users_df["occupation"].values.tolist())
+    # sorted: set iteration order depends on PYTHONHASHSEED and would make
+    # the one-hot column layout differ between processes
+    occupation = sorted(set(users_df["occupation"].values.tolist()))
     gender_dict = {"M": 0.0, "F": 1.0}
     occupation_dict = {f: i for i, f in enumerate(occupation, start=2)}
     num_feats = 2 + len(occupation_dict)
@@ -152,7 +154,7 @@ def _movie_genre_features_1m(data_dir, v_dict, num_items, sep=r"\:\:"):
     genres = []
     for s in movies_df["genre"].values:
         genres.extend(s.split("|"))
-    genres = list(set(genres))
+    genres = sorted(set(genres))  # deterministic column order
     genres_dict = {g: idx for idx, g in enumerate(genres)}
     v_features = np.zeros((num_items, len(genres)), dtype=np.float32)
     for movie_id, s in zip(

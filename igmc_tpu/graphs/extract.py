@@ -179,27 +179,33 @@ def extract_many(
     seed: int = 0,
     progress: bool = False,
     backend: str = "auto",
+    indices: Optional[np.ndarray] = None,
 ):
     """Extract enclosing subgraphs for every (u, v) link.
 
     `backend`: "auto" uses the C++ engine when available (and the config is
     supported), falling back to NumPy; "numpy" / "native" force a path.
-    Deterministic: link i uses a Generator seeded with (seed, i), so results
-    do not depend on worker count or scheduling, unlike the reference's
-    mp.Pool + global `random` (/root/reference/util_functions.py:174-191).
+    Deterministic: each link uses an RNG stream keyed by (seed, stream_id),
+    where stream_id is `indices[i]` when given (dynamic datasets pass global
+    dataset indices so batches reproduce `get(i)`) and the position i
+    otherwise — results do not depend on worker count or scheduling, unlike
+    the reference's mp.Pool + global `random`
+    (/root/reference/util_functions.py:174-191).
     """
     if backend in ("auto", "native"):
-        try:
-            from . import native
+        from . import native
 
-            if native.available():
-                return native.extract_many_native(
-                    links, labels, A, h, sample_ratio, max_nodes_per_hop,
-                    u_features, v_features, class_values, seed,
-                )
-        except ImportError:
-            if backend == "native":
-                raise
+        if native.available():
+            return native.extract_many_native(
+                links, labels, A, h, sample_ratio, max_nodes_per_hop,
+                u_features, v_features, class_values, seed, indices=indices,
+            )
+        if backend == "native":
+            raise RuntimeError(
+                "extraction backend 'native' was requested but the C++ "
+                "engine is unavailable (no compiler / build failed); build "
+                "igmc_tpu/native (make -C igmc_tpu/native) or use "
+                "backend='auto' to allow the NumPy fallback")
 
     us, vs = links
     n = len(us)
@@ -213,7 +219,8 @@ def extract_many(
             pass
     out = []
     for i in it:
-        rng = np.random.default_rng(np.random.SeedSequence([seed, i]))
+        sid = int(indices[i]) if indices is not None else i
+        rng = np.random.default_rng(np.random.SeedSequence([seed, sid]))
         out.append(
             extract_subgraph(
                 int(us[i]), int(vs[i]), A, h, sample_ratio, max_nodes_per_hop,

@@ -40,8 +40,10 @@ def available() -> bool:
 
 
 def extract_many_native(links, labels, A, h, sample_ratio, max_nodes_per_hop,
-                        u_features, v_features, class_values, seed):
+                        u_features, v_features, class_values, seed,
+                        indices=None):
     from .native_impl import extract_many_native as impl
 
     return impl(links, labels, A, h, sample_ratio, max_nodes_per_hop,
-                u_features, v_features, class_values, seed, _load())
+                u_features, v_features, class_values, seed, _load(),
+                indices=indices)

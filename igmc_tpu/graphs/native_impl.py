@@ -20,12 +20,13 @@ def _as(arr, dtype):
 
 
 def extract_many_native(links, labels, A, h, sample_ratio, max_nodes_per_hop,
-                        u_features, v_features, class_values, seed, lib):
+                        u_features, v_features, class_values, seed, lib,
+                        indices=None):
     lib.igmc_extract_run.restype = ct.c_void_p
     lib.igmc_extract_run.argtypes = [ct.c_void_p] * 3 + [ct.c_int64] + \
         [ct.c_void_p] * 3 + [ct.c_int64] + [ct.c_void_p, ct.c_void_p,
-        ct.c_int64, ct.c_int32, ct.c_double, ct.c_int64, ct.c_uint64,
-        ct.c_int32]
+        ct.c_int64, ct.c_void_p, ct.c_int32, ct.c_double, ct.c_int64,
+        ct.c_uint64, ct.c_int32]
     lib.igmc_extract_sizes.argtypes = [ct.c_void_p] * 4
     lib.igmc_extract_fill.argtypes = [ct.c_void_p] * 7
     lib.igmc_extract_free.argtypes = [ct.c_void_p]
@@ -42,10 +43,14 @@ def extract_many_native(links, labels, A, h, sample_ratio, max_nodes_per_hop,
     lv, p8 = _as(vs, np.int64)
 
     mnph = -1 if max_nodes_per_hop is None else int(max_nodes_per_hop)
+    if indices is None:
+        sid_ptr, _sid_keep = ct.c_void_p(None), None
+    else:
+        _sid_keep, sid_ptr = _as(indices, np.int64)
     handle = lib.igmc_extract_run(
         p1, p2, p3, A.num_users, p4, p5, p6, A.num_items,
-        p7, p8, n, int(h), float(sample_ratio), mnph, int(seed) & (2**64 - 1),
-        0,
+        p7, p8, n, sid_ptr, int(h), float(sample_ratio), mnph,
+        int(seed) & (2**64 - 1), 0,
     )
     try:
         node_counts = np.zeros(n, np.int64)

@@ -7,8 +7,10 @@
 // subsampling, target-edge removal, 2d/2d+1 hop/side labels, edge types =
 // adjacency value - 1.
 //
-// Determinism: link i uses an xoshiro256** stream seeded by splitmix64(seed,
-// i), independent of thread count/scheduling. (The NumPy backend uses NumPy's
+// Determinism: each link uses an xoshiro256** stream seeded by
+// splitmix64(seed, stream_id) — stream_id defaults to the link's position
+// but callers pass global dataset indices so dynamic batches reproduce
+// get(i) — independent of thread count/scheduling. (The NumPy backend uses NumPy's
 // Generator for subsampling, so sampled extractions differ between backends
 // by RNG stream only — unsampled extractions are bit-identical.)
 //
@@ -96,10 +98,7 @@ void subsample(std::vector<int32_t>& fringe, double ratio, int64_t cap,
   size_t keep = fringe.size();
   if (ratio < 1.0) keep = (size_t)(ratio * fringe.size());
   if (cap >= 0 && (size_t)cap < keep) keep = (size_t)cap;
-  if (keep >= fringe.size()) {
-    if (ratio < 1.0 && keep < fringe.size()) {}
-    if (keep == fringe.size()) return;
-  }
+  if (keep >= fringe.size()) return;
   // partial Fisher-Yates, then restore sorted order (matches sorted-unique
   // fringe semantics of the NumPy path up to which elements survive)
   for (size_t i = 0; i < keep; ++i) {
@@ -191,6 +190,7 @@ void* igmc_extract_run(
     const int64_t* v_indptr, const int32_t* v_indices, const float* v_data,
     int64_t num_items,
     const int64_t* link_u, const int64_t* link_v, int64_t n_links,
+    const int64_t* stream_ids,  // per-link RNG stream id; NULL -> position i
     int32_t h, double sample_ratio, int64_t max_nodes_per_hop,
     uint64_t seed, int32_t n_threads) {
   auto* eng = new Engine{
@@ -209,9 +209,10 @@ void* igmc_extract_run(
     while (true) {
       int64_t i = next.fetch_add(1);
       if (i >= n_links) break;
+      uint64_t sid = stream_ids ? (uint64_t)stream_ids[i] : (uint64_t)i;
       uint64_t x = seed;
       uint64_t s1 = Xoshiro::splitmix64(x);
-      x = s1 ^ (uint64_t)i * 0x9e3779b97f4a7c15ULL;
+      x = s1 ^ sid * 0x9e3779b97f4a7c15ULL;
       extract_one(*eng, sc, link_u[i], link_v[i], Xoshiro::splitmix64(x),
                   eng->out[i]);
     }

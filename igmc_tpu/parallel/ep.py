@@ -200,8 +200,13 @@ def make_ep_forward(cfg: IGMCConfig, mesh: Mesh):
 
         em = emask
         if training and cfg.adj_dropout > 0:
-            # force_undirected is implicit: the hash keys on the pair id.
-            em = jnp.logical_and(em, hash_edge_keep(seed, epair, cfg.adj_dropout))
+            # force_undirected: hash on the pair id so both directed copies
+            # agree (communication-free). Otherwise hash on a per-direction
+            # key (pair id + direction bit) so each copy drops independently,
+            # matching edge_dropout on the flat path.
+            key_id = (epair if cfg.force_undirected
+                      else epair * 2 + (esrc < edst).astype(epair.dtype))
+            em = jnp.logical_and(em, hash_edge_keep(seed, key_id, cfg.adj_dropout))
         emf = em.astype(jnp.float32)
 
         states = []

@@ -161,3 +161,59 @@ def test_dynamic_matches_static_dataset():
         np.testing.assert_array_equal(a.dst, b.dst)
         np.testing.assert_array_equal(a.etype, b.etype)
         assert a.y == b.y
+
+    # Batch extraction keys RNG streams by GLOBAL dataset index, so the
+    # subgraph for link i is identical whatever batch it lands in.
+    shuffled = dyn.get_many(np.array([29, 7, 0]))
+    for pos, i in enumerate((29, 7, 0)):
+        a, b = dyn.get(i), shuffled[pos]
+        np.testing.assert_array_equal(a.node_label, b.node_label)
+        np.testing.assert_array_equal(a.src, b.src)
+        np.testing.assert_array_equal(a.dst, b.dst)
+
+
+def test_dynamic_get_many_global_seed_native():
+    """Same contract through the C++ engine (its own RNG streams, also keyed
+    by global index)."""
+    from igmc_tpu.graphs import native
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    from igmc_tpu.batching import DynamicGraphDataset
+
+    rng = np.random.default_rng(11)
+    M = (rng.random((40, 40)) < 0.5).astype(np.float32) * rng.integers(
+        1, 6, (40, 40)).astype(np.float32)
+    A = sp.csr_matrix(M)
+    us, vs = np.nonzero(M)
+    labels = (M[us, vs] - 1).astype(np.int64)
+    links = (us[:30], vs[:30])
+    dyn = DynamicGraphDataset(None, A, links, labels[:30], h=1,
+                              sample_ratio=0.6, max_nodes_per_hop=4,
+                              class_values=np.arange(1.0, 6.0), seed=9,
+                              backend="native")
+    shuffled = dyn.get_many(np.array([12, 3, 25]))
+    for pos, i in enumerate((12, 3, 25)):
+        a, b = dyn.get(i), shuffled[pos]
+        np.testing.assert_array_equal(a.node_label, b.node_label)
+        np.testing.assert_array_equal(a.src, b.src)
+        np.testing.assert_array_equal(a.dst, b.dst)
+
+
+def test_static_cache_keyed_by_extraction_params(tmp_path):
+    """Changing h (or any extraction knob) must NOT reuse a stale cache
+    (the reference's fixed data.pt silently did)."""
+    rng = np.random.default_rng(2)
+    M = (rng.random((30, 30)) < 0.6).astype(np.float32) * rng.integers(
+        1, 6, (30, 30)).astype(np.float32)
+    A = sp.csr_matrix(M)
+    us, vs = np.nonzero(M)
+    labels = (M[us, vs] - 1).astype(np.int64)
+    links = (us[:20], vs[:20])
+    kw = dict(class_values=np.arange(1.0, 6.0), backend="numpy")
+    root = str(tmp_path / "ds")
+    h1 = StaticGraphDataset(root, A, links, labels[:20], h=1, **kw)
+    h2 = StaticGraphDataset(root, A, links, labels[:20], h=2, **kw)
+    assert sum(h2.node_counts()) > sum(h1.node_counts())
+    # and the h=1 rerun still hits its own cache (one file per key)
+    again = StaticGraphDataset(root, A, links, labels[:20], h=1, **kw)
+    np.testing.assert_array_equal(again.node_counts(), h1.node_counts())

@@ -30,6 +30,8 @@ def test_cli_debug_run(tmp_path, monkeypatch):
     assert (res / "cmd_input.txt").exists()
     assert (res / "model_checkpoint2.ckpt").exists()
     assert (res / "optimizer_checkpoint2.ckpt").exists()
-    # static subgraph cache written
-    assert (tmp_path / "data" / "flixster" / "testmode" / "train"
-            / "processed" / "data_300.npz").exists()
+    # static subgraph cache written (filename carries the extraction key
+    # and the max_num=300 subsample suffix)
+    caches = list((tmp_path / "data" / "flixster" / "testmode" / "train"
+                   / "processed").glob("data_*_m300.npz"))
+    assert caches, "expected a keyed subgraph cache file"
