@@ -66,6 +66,62 @@ def _adjacency_values(labels_in_adj, class_values, post_rating_map):
     ).astype(np.float32)
 
 
+def _carve_and_build(labels, idx_nonzero_train, pairs_nonzero_train,
+                     idx_nonzero_test, pairs_nonzero_test,
+                     num_train, num_val, num_test, testing,
+                     class_values, post_rating_map, num_users, num_items):
+    """The parity-critical split tail shared by the Monti and official
+    loaders (/root/reference/preprocessing.py:275-333): seed-42 shuffle of
+    the training links, validation carve, optional testing-mode val fold,
+    and training-adjacency assembly (values = label+1, optionally
+    post_rating_map-rebucketed).
+
+    Returns (train_labels, u_train, v_train, val_labels, u_val, v_val,
+    test_labels, u_test, v_test, rating_mx_train).
+    """
+    rand_idx = list(range(len(idx_nonzero_train)))
+    np.random.seed(42)
+    np.random.shuffle(rand_idx)
+    idx_nonzero_train = idx_nonzero_train[rand_idx]
+    pairs_nonzero_train = pairs_nonzero_train[rand_idx]
+
+    idx_nonzero = np.concatenate([idx_nonzero_train, idx_nonzero_test], axis=0)
+    pairs_nonzero = np.concatenate([pairs_nonzero_train, pairs_nonzero_test], axis=0)
+
+    val_idx = idx_nonzero[0:num_val]
+    train_idx = idx_nonzero[num_val : num_train + num_val]
+    test_idx = idx_nonzero[num_train + num_val :]
+    assert len(test_idx) == num_test
+
+    val_pairs_idx = pairs_nonzero[0:num_val]
+    train_pairs_idx = pairs_nonzero[num_val : num_train + num_val]
+    test_pairs_idx = pairs_nonzero[num_train + num_val :]
+
+    u_test_idx, v_test_idx = test_pairs_idx.transpose()
+    u_val_idx, v_val_idx = val_pairs_idx.transpose()
+    u_train_idx, v_train_idx = train_pairs_idx.transpose()
+
+    train_labels = labels[train_idx]
+    val_labels = labels[val_idx]
+    test_labels = labels[test_idx]
+
+    if testing:
+        u_train_idx = np.hstack([u_train_idx, u_val_idx])
+        v_train_idx = np.hstack([v_train_idx, v_val_idx])
+        train_labels = np.hstack([train_labels, val_labels])
+        train_idx = np.hstack([train_idx, val_idx])
+
+    rating_mx_train = np.zeros(num_users * num_items, dtype=np.float32)
+    rating_mx_train[train_idx] = _adjacency_values(
+        labels[train_idx], class_values, post_rating_map
+    )
+    rating_mx_train = sp.csr_matrix(rating_mx_train.reshape(num_users, num_items))
+
+    return (train_labels, u_train_idx, v_train_idx,
+            val_labels, u_val_idx, v_val_idx,
+            test_labels, u_test_idx, v_test_idx, rating_mx_train)
+
+
 def load_data_monti(
     dataset: str,
     testing: bool = False,
@@ -125,47 +181,16 @@ def load_data_monti(
     pairs_nonzero_test = np.stack([ote_u, ote_v], axis=1)
     idx_nonzero_test = pairs_nonzero_test[:, 0] * num_items + pairs_nonzero_test[:, 1]
 
-    # Shuffle training links (seed 42) before carving off validation,
-    # identical to /root/reference/preprocessing.py:275-280.
-    rand_idx = list(range(len(idx_nonzero_train)))
-    np.random.seed(42)
-    np.random.shuffle(rand_idx)
-    idx_nonzero_train = idx_nonzero_train[rand_idx]
-    pairs_nonzero_train = pairs_nonzero_train[rand_idx]
-
-    idx_nonzero = np.concatenate([idx_nonzero_train, idx_nonzero_test], axis=0)
-    pairs_nonzero = np.concatenate([pairs_nonzero_train, pairs_nonzero_test], axis=0)
-
-    val_idx = idx_nonzero[0:num_val]
-    train_idx = idx_nonzero[num_val : num_train + num_val]
-    test_idx = idx_nonzero[num_train + num_val :]
-    assert len(test_idx) == num_test
-
-    val_pairs_idx = pairs_nonzero[0:num_val]
-    train_pairs_idx = pairs_nonzero[num_val : num_train + num_val]
-    test_pairs_idx = pairs_nonzero[num_train + num_val :]
-
-    u_test_idx, v_test_idx = test_pairs_idx.transpose()
-    u_val_idx, v_val_idx = val_pairs_idx.transpose()
-    u_train_idx, v_train_idx = train_pairs_idx.transpose()
-
-    train_labels = labels[train_idx]
-    val_labels = labels[val_idx]
-    test_labels = labels[test_idx]
-
-    if testing:
-        u_train_idx = np.hstack([u_train_idx, u_val_idx])
-        v_train_idx = np.hstack([v_train_idx, v_val_idx])
-        train_labels = np.hstack([train_labels, val_labels])
-        train_idx = np.hstack([train_idx, val_idx])
-
     class_values = np.sort(np.unique(ratings))
 
-    rating_mx_train = np.zeros(num_users * num_items, dtype=np.float32)
-    rating_mx_train[train_idx] = _adjacency_values(
-        labels[train_idx], class_values, post_rating_map
+    (train_labels, u_train_idx, v_train_idx,
+     val_labels, u_val_idx, v_val_idx,
+     test_labels, u_test_idx, v_test_idx, rating_mx_train) = _carve_and_build(
+        labels, idx_nonzero_train, pairs_nonzero_train,
+        idx_nonzero_test, pairs_nonzero_test,
+        num_train, num_val, num_test, testing,
+        class_values, post_rating_map, num_users, num_items,
     )
-    rating_mx_train = sp.csr_matrix(rating_mx_train.reshape(num_users, num_items))
 
     return SplitData(
         u_features=sp.csr_matrix(u_features) if u_features is not None else None,
@@ -254,45 +279,16 @@ def load_official_trainvaltest_split(
     pairs_nonzero_train = pairs_nonzero[0 : num_train + num_val]
     pairs_nonzero_test = pairs_nonzero[num_train + num_val :]
 
-    rand_idx = list(range(len(idx_nonzero_train)))
-    np.random.seed(42)
-    np.random.shuffle(rand_idx)
-    idx_nonzero_train = idx_nonzero_train[rand_idx]
-    pairs_nonzero_train = pairs_nonzero_train[rand_idx]
-
-    idx_nonzero = np.concatenate([idx_nonzero_train, idx_nonzero_test], axis=0)
-    pairs_nonzero = np.concatenate([pairs_nonzero_train, pairs_nonzero_test], axis=0)
-
-    val_idx = idx_nonzero[0:num_val]
-    train_idx = idx_nonzero[num_val : num_train + num_val]
-    test_idx = idx_nonzero[num_train + num_val :]
-    assert len(test_idx) == num_test
-
-    val_pairs_idx = pairs_nonzero[0:num_val]
-    train_pairs_idx = pairs_nonzero[num_val : num_train + num_val]
-    test_pairs_idx = pairs_nonzero[num_train + num_val :]
-
-    u_test_idx, v_test_idx = test_pairs_idx.transpose()
-    u_val_idx, v_val_idx = val_pairs_idx.transpose()
-    u_train_idx, v_train_idx = train_pairs_idx.transpose()
-
-    train_labels = labels[train_idx]
-    val_labels = labels[val_idx]
-    test_labels = labels[test_idx]
-
-    if testing:
-        u_train_idx = np.hstack([u_train_idx, u_val_idx])
-        v_train_idx = np.hstack([v_train_idx, v_val_idx])
-        train_labels = np.hstack([train_labels, val_labels])
-        train_idx = np.hstack([train_idx, val_idx])
-
     class_values = np.sort(np.unique(ratings))
 
-    rating_mx_train = np.zeros(num_users * num_items, dtype=np.float32)
-    rating_mx_train[train_idx] = _adjacency_values(
-        labels[train_idx], class_values, post_rating_map
+    (train_labels, u_train_idx, v_train_idx,
+     val_labels, u_val_idx, v_val_idx,
+     test_labels, u_test_idx, v_test_idx, rating_mx_train) = _carve_and_build(
+        labels, idx_nonzero_train, pairs_nonzero_train,
+        idx_nonzero_test, pairs_nonzero_test,
+        num_train, num_val, num_test, testing,
+        class_values, post_rating_map, num_users, num_items,
     )
-    rating_mx_train = sp.csr_matrix(rating_mx_train.reshape(num_users, num_items))
 
     # Side features (genres / demographics).
     if dataset == "ml_100k":
