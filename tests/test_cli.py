@@ -35,3 +35,30 @@ def test_cli_debug_run(tmp_path, monkeypatch):
     caches = list((tmp_path / "data" / "flixster" / "testmode" / "train"
                    / "processed").glob("data_*_m300.npz"))
     assert caches, "expected a keyed subgraph cache file"
+
+
+@pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+def test_cli_ensemble_and_transfer(tmp_path, monkeypatch):
+    """Train a tiny douban model with checkpoints, then (a) ensemble it and
+    (b) transfer it zero-shot to flixster via post_rating_map bucketing —
+    the reference's Main.py:437-479 branches through the real argv surface."""
+    from igmc_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    common = ["--testing", "--debug", "--epochs", "2", "--batch-size", "50",
+              "--save-interval", "1", "--max-train-num", "200",
+              "--max-test-num", "80"]
+    main(["--data-name", "douban", "--ensemble"] + common)
+    res = tmp_path / "results" / "douban_testmode"
+    log = (res / "log.txt").read_text()
+    assert "ensemble of range(" in log
+
+    # Transfer: reuse the douban checkpoints on flixster (rebucketed to
+    # douban's 5 relations), ensembled, no training.
+    main(["--data-name", "flixster", "--no-train", "--ensemble",
+          "--transfer", str(res), "--num-relations", "5",
+          "--multiply-by", "1"] + common)
+    tlog = (tmp_path / "results" / "flixster_testmode" / "log.txt").read_text()
+    assert "transfer" in tlog and "ensemble of range(" in tlog
+    rmse = float(tlog.strip().splitlines()[-1].split(" ")[-1])
+    assert np.isfinite(rmse)
