@@ -1,0 +1,181 @@
+"""MovieLens loader/split tests on synthetic fixture files (no network).
+
+Exercises the ml_100k official split, the ml_1m/ml_10m random splits, the
+ml_25m time split, and the side-feature builders — the loader paths that
+otherwise require grouplens downloads (/root/reference/data_utils.py:88-380).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _write(path, lines):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", encoding="latin-1") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+N_USERS, N_ITEMS = 12, 9
+
+
+def _ratings(rng, n):
+    rows = []
+    seen = set()
+    while len(rows) < n:
+        u = int(rng.integers(1, N_USERS + 1))
+        v = int(rng.integers(1, N_ITEMS + 1))
+        if (u, v) in seen:
+            continue
+        seen.add((u, v))
+        r = int(rng.integers(1, 6))
+        t = 878887116 + len(rows)
+        rows.append((u, v, r, t))
+    return rows
+
+
+@pytest.fixture
+def ml_root(tmp_path, monkeypatch):
+    rng = np.random.default_rng(0)
+    root = tmp_path / "raw_data"
+
+    # ---- ml_100k: u.data, u1.base/u1.test, u.item, u.user ----
+    rows = _ratings(rng, 80)
+    d100k = root / "ml_100k"
+    _write(str(d100k / "u.data"),
+           ["\t".join(map(str, r)) for r in rows])
+    _write(str(d100k / "u1.base"),
+           ["\t".join(map(str, r)) for r in rows[:64]])
+    _write(str(d100k / "u1.test"),
+           ["\t".join(map(str, r)) for r in rows[64:]])
+    genre_flags = lambda i: "|".join(
+        str(int(b)) for b in np.eye(19, dtype=int)[i % 19])
+    _write(str(d100k / "u.item"), [
+        f"{i}|Movie {i} (1995)|01-Jan-1995||http://x|" + genre_flags(i)
+        for i in range(1, N_ITEMS + 1)
+    ])
+    occs = ["artist", "doctor", "engineer"]
+    _write(str(d100k / "u.user"), [
+        f"{u}|{20 + u}|{'MF'[u % 2]}|{occs[u % 3]}|90210"
+        for u in range(1, N_USERS + 1)
+    ])
+
+    # ---- ml_1m: ratings.dat, movies.dat, users.dat (:: separated) ----
+    rows1m = _ratings(rng, 90)
+    d1m = root / "ml_1m"
+    _write(str(d1m / "ratings.dat"),
+           ["::".join(map(str, r)) for r in rows1m])
+    genres = ["Action", "Comedy", "Drama"]
+    _write(str(d1m / "movies.dat"), [
+        f"{i}::Movie {i} (1995)::{genres[i % 3]}|{genres[(i + 1) % 3]}"
+        for i in range(1, N_ITEMS + 1)
+    ])
+    _write(str(d1m / "users.dat"), [
+        f"{u}::{'MF'[u % 2]}::{18 + (u % 4) * 10}::{u % 5}::90210"
+        for u in range(1, N_USERS + 1)
+    ])
+
+    # ---- ml_10m: ratings.dat only ----
+    d10m = root / "ml_10m"
+    _write(str(d10m / "ratings.dat"),
+           ["::".join(map(str, r)) for r in _ratings(rng, 70)])
+
+    # ---- ml_25m: preprocessed csv sorted by time ----
+    d25m = root / "ml_25m"
+    rows25 = _ratings(rng, 60)
+    _write(str(d25m / "movielens25M.csv"),
+           ["uid,iid,cid,time,rating"] +
+           [f"{u},{v},0,{t},{r}" for (u, v, r, t) in rows25])
+
+    monkeypatch.setenv("IGMC_RAW_DATA", str(root))
+    return root
+
+
+def test_load_data_ml100k_and_features(ml_root):
+    from igmc_tpu.data.loaders import load_data
+
+    nu, ni, u, v, r, uf, vf = load_data("ml_100k", seed=1234, verbose=False)
+    assert len(u) == len(v) == len(r) == 80
+    assert u.max() < nu and v.max() < ni
+    # 18 genre one-hots: the reference slices columns[6:], dropping
+    # "unknown" (/root/reference/data_utils.py:180)
+    assert vf.shape == (ni, 18)
+    # gender (1) + age (1) + occupation one-hot columns
+    assert uf.shape[0] == nu and uf.shape[1] == 2 + 3
+    # CF-NADE shuffle is seeded: same seed -> same order
+    _, _, u2, v2, r2, _, _ = load_data("ml_100k", seed=1234, verbose=False)
+    np.testing.assert_array_equal(u, u2)
+    np.testing.assert_array_equal(r, r2)
+
+
+def test_official_split_ml100k(ml_root):
+    from igmc_tpu.data import load_official_trainvaltest_split
+
+    s = load_official_trainvaltest_split("ml_100k", testing=False)
+    n_train, n_val, n_test = (len(s.train_labels), len(s.val_labels),
+                              len(s.test_labels))
+    assert n_test == 16                       # u1.test rows
+    assert n_val == int(np.ceil(64 * 0.2))    # 20% of u1.base
+    assert n_train == 64 - n_val
+    # adjacency only contains training links, values = label + 1
+    assert s.adj_train.nnz == n_train
+    assert s.adj_train.data.min() >= 1
+    assert s.adj_train.data.max() <= len(s.class_values)
+    # testing mode folds val into train
+    st = load_official_trainvaltest_split("ml_100k", testing=True)
+    assert len(st.train_labels) == n_train + n_val
+    assert st.adj_train.nnz == n_train + n_val
+
+
+def test_official_split_ratio_downsamples_train(ml_root):
+    from igmc_tpu.data import load_official_trainvaltest_split
+
+    s = load_official_trainvaltest_split("ml_100k", testing=True, ratio=0.5)
+    full = load_official_trainvaltest_split("ml_100k", testing=True)
+    assert len(s.train_labels) < len(full.train_labels)
+    assert len(s.test_labels) == len(full.test_labels)
+
+
+def test_random_split_ml1m(ml_root):
+    from igmc_tpu.data import create_trainvaltest_split
+
+    s = create_trainvaltest_split("ml_1m", seed=1234, testing=False,
+                                  verbose=False)
+    n = 90
+    n_test = int(np.ceil(n * 0.1))
+    n_val = int(np.ceil(n * 0.9 * 0.05))
+    assert len(s.test_labels) == n_test
+    assert len(s.val_labels) == n_val
+    assert len(s.train_labels) == n - n_val - n_test
+    assert s.u_features is not None and s.v_features is not None
+    assert s.v_features.shape[1] == 3  # genre vocabulary
+
+
+def test_random_split_ml10m_and_time_split_ml25m(ml_root):
+    from igmc_tpu.data import create_trainvaltest_split
+
+    s = create_trainvaltest_split("ml_10m", seed=1234, testing=True,
+                                  verbose=False)
+    assert len(s.test_labels) > 0 and len(s.train_labels) > 0
+    assert s.adj_train.shape[0] > 0
+
+    t = create_trainvaltest_split("ml_25m", seed=1234, testing=False,
+                                  verbose=False)
+    n = 60
+    assert len(t.train_labels) == int(n * 0.7)
+    assert len(t.test_labels) == n - int(n * 0.8)
+
+
+def test_pickle_cache_roundtrip(ml_root, tmp_path):
+    from igmc_tpu.data import create_trainvaltest_split
+
+    cache = str(tmp_path / "split.pkl")
+    a = create_trainvaltest_split("ml_10m", seed=1234, verbose=False,
+                                  datasplit_path=cache)
+    assert os.path.isfile(cache)
+    b = create_trainvaltest_split("ml_10m", seed=1234, verbose=False,
+                                  datasplit_path=cache,
+                                  datasplit_from_file=True)
+    np.testing.assert_array_equal(a.train_labels, b.train_labels)
+    np.testing.assert_array_equal(a.test_u_indices, b.test_u_indices)
