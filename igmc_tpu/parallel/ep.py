@@ -201,11 +201,13 @@ def make_ep_forward(cfg: IGMCConfig, mesh: Mesh):
         em = emask
         if training and cfg.adj_dropout > 0:
             # force_undirected: hash on the pair id so both directed copies
-            # agree (communication-free). Otherwise hash on a per-direction
-            # key (pair id + direction bit) so each copy drops independently,
-            # matching edge_dropout on the flat path.
+            # agree (communication-free). Otherwise mix the GLOBAL source
+            # node into the key — the two copies of a pair have different
+            # sources, so each drops independently, matching edge_dropout on
+            # the flat path. (edge_dst is chip-local and unusable as a key.)
             key_id = (epair if cfg.force_undirected
-                      else epair * 2 + (esrc < edst).astype(epair.dtype))
+                      else epair.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+                      + esrc.astype(jnp.uint32))
             em = jnp.logical_and(em, hash_edge_keep(seed, key_id, cfg.adj_dropout))
         emf = em.astype(jnp.float32)
 

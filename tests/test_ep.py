@@ -114,3 +114,37 @@ def test_ep_forward_matches_single_device_sum_aggr():
     out = fwd(params, jax.device_put(ep), jnp.uint32(0), training=False)
     np.testing.assert_allclose(
         np.asarray(out).reshape(-1), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_ep_dropout_direction_tying_follows_config():
+    """force_undirected=True must drop both directed copies of an edge
+    together; force_undirected=False must drop them independently."""
+    batch = make_batch()
+    mesh = make_mesh(n_data=8)
+    ep = partition_batch(batch, 8)
+    # Reconstruct per-edge keep decisions exactly as make_ep_forward does.
+    import numpy as _np
+
+    for fu in (True, False):
+        epair = _np.asarray(ep.edge_pair)
+        esrc = _np.asarray(ep.edge_src)  # global node index
+        key_id = (epair if fu
+                  else (epair.astype(_np.uint32) * _np.uint32(0x9E3779B1)
+                        + esrc.astype(_np.uint32)))
+        keep = _np.asarray(hash_edge_keep(jnp.uint32(3),
+                                          jnp.asarray(key_id), 0.5))
+        mask = _np.asarray(ep.edge_mask)
+        # group keep decisions by undirected pair id over real edges
+        from collections import defaultdict
+
+        by_pair = defaultdict(list)
+        for d in range(keep.shape[0]):
+            for e in _np.nonzero(mask[d])[0]:
+                by_pair[int(epair[d, e])].append(bool(keep[d, e]))
+        pairs_with_both = {p: v for p, v in by_pair.items() if len(v) == 2}
+        assert pairs_with_both, "expected undirected edge pairs in the batch"
+        agree = [a == b for a, b in pairs_with_both.values()]
+        if fu:
+            assert all(agree)  # tied
+        else:
+            assert not all(agree)  # at p=0.5 some pairs must disagree
