@@ -219,13 +219,25 @@ def make_ep_forward(cfg: IGMCConfig, mesh: Mesh):
             nb, Cin, Cout = conv["basis"].shape
             z = (ae[:, :, None] * xs[:, None, :]).reshape(-1, nb * Cin)
             msg = z @ conv["basis"].reshape(nb * Cin, Cout)  # MXU
-            s = jax.ops.segment_sum(msg * emf[:, None], edst, num_segments=Nl)
-            if cfg.aggr == "mean":
-                cnt = jax.ops.segment_sum(emf, edst, num_segments=Nl)
-                s = s / jnp.maximum(cnt, 1.0)[:, None]
-            elif cfg.aggr != "sum":
-                raise NotImplementedError(
-                    f"EP path supports aggr mean/sum, not {cfg.aggr}")
+            if cfg.aggr == "relmean":
+                # mean within each (dst, relation) bucket, summed over
+                # relations — identical to the flat trunk (models/rgcn.py)
+                R = cfg.num_relations
+                seg = edst * R + etype
+                s = jax.ops.segment_sum(msg * emf[:, None], seg,
+                                        num_segments=Nl * R)
+                cnt = jax.ops.segment_sum(emf, seg, num_segments=Nl * R)
+                s = (s / jnp.maximum(cnt, 1.0)[:, None]
+                     ).reshape(Nl, R, Cout).sum(axis=1)
+            else:
+                s = jax.ops.segment_sum(msg * emf[:, None], edst,
+                                        num_segments=Nl)
+                if cfg.aggr == "mean":
+                    cnt = jax.ops.segment_sum(emf, edst, num_segments=Nl)
+                    s = s / jnp.maximum(cnt, 1.0)[:, None]
+                elif cfg.aggr != "sum":
+                    raise NotImplementedError(
+                        f"EP path supports aggr mean/sum/relmean, not {cfg.aggr}")
             x = jnp.tanh(s + x @ conv["root"] + conv["bias"])
             states.append(x)
         cs = jnp.concatenate(states, axis=1)                 # [Nl, sum(latent)]

@@ -116,6 +116,20 @@ def test_ep_forward_matches_single_device_sum_aggr():
         np.asarray(out).reshape(-1), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+def test_ep_forward_matches_single_device_relmean_aggr():
+    batch = make_batch(seed=11)
+    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0,
+                     aggr="relmean")
+    params = igmc_init(jax.random.PRNGKey(4), cfg)
+    ref = igmc_forward(params, jax.device_put(batch), cfg, None, False)
+    mesh = make_mesh(n_data=8)
+    ep = partition_batch(batch, 8)
+    fwd = make_ep_forward(cfg, mesh)
+    out = fwd(params, jax.device_put(ep), jnp.uint32(0), training=False)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(-1), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_ep_dropout_direction_tying_follows_config():
     """force_undirected=True must drop both directed copies of an edge
     together; force_undirected=False must drop them independently."""
