@@ -186,3 +186,47 @@ def test_split_for_devices_short_batch_with_side_features():
     assert stacked.u_feat.shape == (4, 2, 3)
     assert stacked.v_feat.shape == (4, 2, 2)
     assert stacked.graph_mask.sum() == 5
+
+
+def test_process_shard_indices_cover_equally():
+    from igmc_tpu.parallel import process_shard_indices
+
+    n, P = 103, 4
+    shards = [process_shard_indices(n, pi, P) for pi in range(P)]
+    per = -(-n // P)
+    assert all(len(s) == per for s in shards)  # equal step counts
+    union = np.concatenate(shards)
+    # covers every index; only the wrap pad repeats
+    assert set(union.tolist()) == set(range(n))
+    assert len(union) - n == per * P - n
+
+
+def test_global_batch_from_local_single_process(tmp_path):
+    """On a single-process mesh, make_array_from_process_local_data must
+    equal a plain sharded device_put of the same stack."""
+    import jax
+    from igmc_tpu.parallel import (global_batch_from_local, make_mesh,
+                                   batch_sharding, stack_batches, Subset)
+    from igmc_tpu.batching.dataset import StaticGraphDataset
+    from igmc_tpu.batching.batch import collate
+
+    rng = np.random.default_rng(7)
+    M = (rng.random((12, 12)) < 0.6).astype(np.float32) * rng.integers(
+        1, 4, (12, 12)).astype(np.float32)
+    A = sp.csr_matrix(M)
+    us, vs = np.nonzero(M)
+    labels = (M[us, vs] - 1).astype(np.int64)
+    ds = StaticGraphDataset(None, A, (us, vs), labels, h=1,
+                            class_values=np.arange(1.0, 4.0), backend="numpy")
+    sub = Subset(ds, np.arange(len(ds)))
+    graphs = sub.get_many(np.arange(8))
+    subs = [collate(graphs[i * 1:(i + 1) * 1], 1, 64, 128) for i in range(8)]
+    local = stack_batches(subs)
+
+    mesh = make_mesh(n_data=8)
+    g = global_batch_from_local(local, mesh)
+    ref = jax.device_put(local, batch_sharding(mesh))
+    np.testing.assert_array_equal(np.asarray(g.node_label),
+                                  np.asarray(ref.node_label))
+    np.testing.assert_array_equal(np.asarray(g.y), np.asarray(ref.y))
+    assert g.node_label.sharding.spec == ref.node_label.sharding.spec
