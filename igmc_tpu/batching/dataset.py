@@ -145,9 +145,17 @@ class StaticGraphDataset:
         # The cache key covers every input that changes the extracted
         # subgraphs (the reference's fixed data.pt silently served stale
         # caches when --hop/--max-nodes-per-hop/--debug changed between
-        # runs; /root/reference/util_functions.py:95-99).
+        # runs; /root/reference/util_functions.py:95-99). When subsampling
+        # is active the numpy and native engines draw different RNG
+        # streams, so the effective backend joins the key too.
         key = (f"h{h}_sr{sample_ratio:g}_mnph{max_nodes_per_hop}"
                f"_f{int(u_features is not None)}_s{seed}_n{len(links[0])}")
+        if sample_ratio < 1.0 or max_nodes_per_hop is not None:
+            from ..graphs import native as _native
+
+            eff = ("native" if backend in ("auto", "native")
+                   and _native.available() else "numpy")
+            key += f"_b{eff}"
         name = (f"data_{key}.npz" if max_num is None
                 else f"data_{key}_m{max_num}.npz")
         cache = os.path.join(root, "processed", name) if root else None

@@ -9,6 +9,15 @@ from __future__ import annotations
 _LIB = None
 _TRIED = False
 
+ABI_VERSION = 2  # must match igmc_extract_abi_version() in extract.cpp
+
+
+def _abi_ok(lib) -> bool:
+    try:
+        return lib.igmc_extract_abi_version() == ABI_VERSION
+    except AttributeError:  # pre-versioning binary
+        return False
+
 
 def _load():
     global _LIB, _TRIED
@@ -18,20 +27,37 @@ def _load():
     import ctypes
     import os
 
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(here, "native", "libigmc_extract.so")
-    if not os.path.isfile(path):
-        # Build on first use when a toolchain is available.
+    def _build():
         try:
             from ..native.build import build
 
-            path = build(verbose=False)
+            return build(verbose=False)
         except Exception:
             return None
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "native", "libigmc_extract.so")
+    if not os.path.isfile(path):
+        path = _build()  # build on first use when a toolchain is available
+        if path is None:
+            return None
     try:
-        _LIB = ctypes.CDLL(path)
+        lib = ctypes.CDLL(path)
     except OSError:
-        _LIB = None
+        return None
+    if not _abi_ok(lib):
+        # Stale prebuilt binary: calling it would misalign arguments.
+        # Rebuild from source; refuse (NumPy fallback) if that fails.
+        path = _build()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            return None
+        if not _abi_ok(lib):
+            return None
+    _LIB = lib
     return _LIB
 
 

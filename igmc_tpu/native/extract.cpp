@@ -258,4 +258,9 @@ void igmc_extract_fill(void* handle, const int64_t* node_offsets,
 
 void igmc_extract_free(void* handle) { delete (Engine*)handle; }
 
+// Bump on any signature change; the ctypes loader refuses/rebuilds a .so
+// whose version (or absence of this symbol) does not match, instead of
+// calling through a misaligned ABI.
+int32_t igmc_extract_abi_version() { return 2; }
+
 }  // extern "C"

@@ -157,6 +157,18 @@ def partition_batch(batch: GraphBatch, n_devices: int,
 # Stateless hash dropout (communication-free force_undirected)
 # ---------------------------------------------------------------------------
 
+def dropout_key_ids(force_undirected: bool, epair, esrc):
+    """The hash-dropout stream id per edge. force_undirected keys on the
+    undirected pair id (both directed copies agree, zero communication);
+    otherwise the GLOBAL source node is mixed in so each directed copy
+    drops independently, matching edge_dropout on the flat path.
+    (edge_dst is chip-local and unusable as a key.)"""
+    if force_undirected:
+        return epair
+    return (epair.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+            + esrc.astype(jnp.uint32))
+
+
 def hash_edge_keep(seed: jnp.ndarray, pair_id: jnp.ndarray, p: float):
     """Bernoulli(1-p) keep decision as a murmur-style hash of (seed, pair id).
 
@@ -200,14 +212,7 @@ def make_ep_forward(cfg: IGMCConfig, mesh: Mesh):
 
         em = emask
         if training and cfg.adj_dropout > 0:
-            # force_undirected: hash on the pair id so both directed copies
-            # agree (communication-free). Otherwise mix the GLOBAL source
-            # node into the key — the two copies of a pair have different
-            # sources, so each drops independently, matching edge_dropout on
-            # the flat path. (edge_dst is chip-local and unusable as a key.)
-            key_id = (epair if cfg.force_undirected
-                      else epair.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
-                      + esrc.astype(jnp.uint32))
+            key_id = dropout_key_ids(cfg.force_undirected, epair, esrc)
             em = jnp.logical_and(em, hash_edge_keep(seed, key_id, cfg.adj_dropout))
         emf = em.astype(jnp.float32)
 

@@ -6,17 +6,29 @@ SURVEY.md §2.3). On a multi-host TPU slice the recipe is:
     jax.distributed.initialize()
     mesh = make_mesh()                      # spans all hosts' devices
     idx = process_shard_indices(len(train_graphs))
-    loader = BatchLoader(Subset(train_graphs, idx),
+    nl, el = capacity_ladders(train_graphs,           # FULL dataset, not the
+                              B // jax.device_count())  # shard: same shapes
+    loader = BatchLoader(Subset(train_graphs, idx),     # on every host
                          batch_size=B // jax.process_count(),
-                         n_devices=jax.local_device_count(), device_put=False)
+                         n_devices=jax.local_device_count(),
+                         node_ladder=nl, edge_ladder=el, device_put=False)
     for local in loader:
         batch = global_batch_from_local(local, mesh)   # one jax.Array/leaf
         state = step(state, batch)          # same jit as single-host
 
 Every process feeds only its addressable shard; GSPMD's gradient psum spans
 the whole mesh, so the math matches single-host training on the global
-batch. All hosts get EQUAL step counts (wrapping pad) so collectives stay
-aligned — a short final shard on one host would deadlock the others.
+batch. Two alignment rules, both load-bearing:
+
+  * EQUAL STEP COUNTS — process_shard_indices pads by wrapping, so no host
+    runs fewer steps (a short final shard would deadlock the collectives).
+  * EQUAL SHAPES PER STEP — ladders estimated from a host's LOCAL shard
+    would differ between hosts, making each process trace a different
+    program for the same global step. capacity_ladders derives ONE
+    fixed (node_pad, edge_pad) from the FULL dataset, identical
+    everywhere (every host holds the whole dataset; only the feeding is
+    sharded). Dynamic datasets have no precomputed counts — pass explicit
+    identical node_ladder/edge_ladder on every host instead.
 """
 
 from __future__ import annotations
@@ -49,8 +61,29 @@ def process_shard_indices(
     return padded[pi * per : (pi + 1) * per]
 
 
+def capacity_ladders(dataset, batch_graphs: int):
+    """Single-entry pad ladders from the FULL dataset's worst-case batch.
+
+    Every host computes the identical (node_pad, edge_pad), so every batch
+    on every host compiles to the same program — required for multi-host
+    (see module docstring). Needs a dataset with precomputed counts
+    (static); for dynamic datasets pass explicit ladders instead.
+    """
+    from ..batching.device_data import capacity_bound
+
+    n_pad, e_pad = capacity_bound(np.asarray(dataset.node_counts()),
+                                  np.asarray(dataset.edge_counts()),
+                                  batch_graphs)
+    return [n_pad], [e_pad]
+
+
 class Subset:
-    """Index-remapped view of a dataset (works for static and dynamic)."""
+    """Index-remapped view of a dataset (works for static and dynamic).
+
+    node_counts/edge_counts are exposed only when the wrapped dataset has
+    them (static), so BatchLoader's hasattr-gated ladder estimation keeps
+    working for dynamic datasets.
+    """
 
     def __init__(self, dataset, indices: np.ndarray):
         self.dataset = dataset
@@ -68,11 +101,13 @@ class Subset:
             return self.dataset.get_many(remapped)
         return [self.dataset.get(int(i)) for i in remapped]
 
-    def node_counts(self):
-        return np.asarray(self.dataset.node_counts())[self.indices]
-
-    def edge_counts(self):
-        return np.asarray(self.dataset.edge_counts())[self.indices]
+    def __getattr__(self, name):
+        # Conditional delegation: present iff the wrapped dataset has it.
+        if name in ("node_counts", "edge_counts"):
+            inner = getattr(self.dataset, name)  # AttributeError if absent
+            idx = self.indices
+            return lambda: np.asarray(inner())[idx]
+        raise AttributeError(name)
 
 
 def global_batch_from_local(local_batch, mesh: Mesh):

@@ -11,8 +11,8 @@ from igmc_tpu.batching import collate
 from igmc_tpu.models import IGMCConfig, igmc_init, igmc_forward
 from igmc_tpu.parallel import make_mesh
 from igmc_tpu.parallel.ep import (
-    EPBatch, hash_edge_keep, make_ep_eval_step, make_ep_forward,
-    make_ep_train_step, partition_batch,
+    EPBatch, dropout_key_ids, hash_edge_keep, make_ep_eval_step,
+    make_ep_forward, make_ep_train_step, partition_batch,
 )
 from igmc_tpu.train.loop import make_optimizer
 
@@ -136,17 +136,15 @@ def test_ep_dropout_direction_tying_follows_config():
     batch = make_batch()
     mesh = make_mesh(n_data=8)
     ep = partition_batch(batch, 8)
-    # Reconstruct per-edge keep decisions exactly as make_ep_forward does.
+    # Per-edge keep decisions via the SAME production functions
+    # make_ep_forward composes (dropout_key_ids -> hash_edge_keep).
     import numpy as _np
 
     for fu in (True, False):
         epair = _np.asarray(ep.edge_pair)
-        esrc = _np.asarray(ep.edge_src)  # global node index
-        key_id = (epair if fu
-                  else (epair.astype(_np.uint32) * _np.uint32(0x9E3779B1)
-                        + esrc.astype(_np.uint32)))
-        keep = _np.asarray(hash_edge_keep(jnp.uint32(3),
-                                          jnp.asarray(key_id), 0.5))
+        key_id = dropout_key_ids(fu, jnp.asarray(ep.edge_pair),
+                                 jnp.asarray(ep.edge_src))
+        keep = _np.asarray(hash_edge_keep(jnp.uint32(3), key_id, 0.5))
         mask = _np.asarray(ep.edge_mask)
         # group keep decisions by undirected pair id over real edges
         from collections import defaultdict

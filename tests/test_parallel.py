@@ -230,3 +230,38 @@ def test_global_batch_from_local_single_process(tmp_path):
                                   np.asarray(ref.node_label))
     np.testing.assert_array_equal(np.asarray(g.y), np.asarray(ref.y))
     assert g.node_label.sharding.spec == ref.node_label.sharding.spec
+
+
+def test_subset_of_dynamic_dataset_estimates_ladders():
+    """BatchLoader(Subset(dynamic)) must fall back to sampling-based ladder
+    estimation (Subset only exposes node_counts when the inner dataset has
+    them)."""
+    from igmc_tpu.batching import DynamicGraphDataset
+    from igmc_tpu.batching.dataset import BatchLoader
+    from igmc_tpu.parallel import Subset, capacity_ladders
+
+    rng = np.random.default_rng(3)
+    M = (rng.random((12, 12)) < 0.6).astype(np.float32) * rng.integers(
+        1, 4, (12, 12)).astype(np.float32)
+    A = sp.csr_matrix(M)
+    us, vs = np.nonzero(M)
+    labels = (M[us, vs] - 1).astype(np.int64)
+    dyn = DynamicGraphDataset(None, A, (us, vs), labels, h=1,
+                              class_values=np.arange(1.0, 4.0),
+                              backend="numpy")
+    sub = Subset(dyn, np.arange(len(dyn)))
+    assert not hasattr(sub, "node_counts")
+    loader = BatchLoader(sub, batch_size=4, device_put=False)
+    assert sum(int(b.graph_mask.sum()) for b in loader) == len(dyn)
+
+    # static subsets DO delegate counts, and capacity_ladders works on them
+    from igmc_tpu.batching.dataset import StaticGraphDataset
+
+    st = StaticGraphDataset(None, A, (us, vs), labels, h=1,
+                            class_values=np.arange(1.0, 4.0),
+                            backend="numpy")
+    sub2 = Subset(st, np.arange(0, len(st), 2))
+    assert len(sub2.node_counts()) == len(sub2)
+    nl, el = capacity_ladders(st, 4)
+    assert len(nl) == 1 and len(el) == 1
+    assert nl[0] >= max(st.node_counts())
