@@ -62,3 +62,20 @@ def test_cli_ensemble_and_transfer(tmp_path, monkeypatch):
     assert "transfer" in tlog and "ensemble of range(" in tlog
     rmse = float(tlog.strip().splitlines()[-1].split(" ")[-1])
     assert np.isfinite(rmse)
+
+
+@pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+def test_cli_profile_dir_writes_trace(tmp_path, monkeypatch):
+    """--profile-dir captures a jax.profiler trace of one epoch."""
+    from igmc_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    main([
+        "--data-name", "flixster", "--testing", "--debug",
+        "--epochs", "2", "--batch-size", "50",
+        "--max-train-num", "120", "--max-test-num", "50",
+        "--profile-dir", str(tmp_path / "trace"),
+    ])
+    import glob
+    assert glob.glob(str(tmp_path / "trace" / "**" / "*.xplane.pb"),
+                     recursive=True), "expected an xplane trace file"
