@@ -223,7 +223,7 @@ def build_datasets(args, split):
     return train_graphs, val_graphs, test_graphs, n_features
 
 
-def build_model(args, split, n_features):
+def build_model(args, split, n_features, train_graphs=None):
     import jax
 
     from ..models import (
@@ -261,8 +261,17 @@ def build_model(args, split, n_features):
         fwd = lambda p, b, key=None, training=False: gnn_forward(
             p, b, cfg, key, training)
     else:  # dgcnn / dgcnn_rs
+        # SortPool k = the 60th-percentile node count of the training set
+        # (min 10), as the reference derives it (/root/reference/models.py:70-74).
+        from ..models.igmc import sortpool_k_from_dataset
+
+        k = 30
+        if train_graphs is not None and hasattr(train_graphs, "node_counts"):
+            nc = train_graphs.node_counts()
+            if len(nc):
+                k = sortpool_k_from_dataset(nc, 0.6)
         cfg = DGCNNConfig(
-            num_features=num_features, latent_dim=(32, 32, 32, 1), k=30,
+            num_features=num_features, latent_dim=(32, 32, 32, 1), k=k,
             adj_dropout=args.adj_dropout,
             force_undirected=args.force_undirected,
             relational=(args.model == "dgcnn_rs"),
@@ -296,7 +305,7 @@ def main(argv=None):
         res.snapshot_source()
 
     train_graphs, val_graphs, test_graphs, n_features = build_datasets(args, split)
-    fwd, params, cfg = build_model(args, split, n_features)
+    fwd, params, cfg = build_model(args, split, n_features, train_graphs)
 
     from ..train import (checkpoint_path, load_checkpoint, test_once,
                          train_multiple_epochs)
