@@ -85,3 +85,17 @@ def test_native_side_features_passthrough():
     for i, x in enumerate(g):
         np.testing.assert_array_equal(x.u_feat, uf[us[i]])
         np.testing.assert_array_equal(x.v_feat, vf[vs[i]])
+
+
+def test_abi_guard_rejects_versionless_lib():
+    """A library object without the version symbol (stale pre-versioning
+    binary) must be rejected by the ABI check."""
+    from igmc_tpu.graphs import native
+
+    class StaleLib:
+        def __getattr__(self, name):
+            raise AttributeError(name)
+
+    assert native._abi_ok(StaleLib()) is False
+    if native.available():
+        assert native._abi_ok(native._load()) is True
