@@ -25,6 +25,16 @@ land on different chips, so the mask-broadcast trick of ops/dropout.py does
 not apply. Instead each edge carries its global canonical-pair id and the
 keep decision is a stateless integer hash of (seed, pair id) — both copies
 compute the same Bernoulli with no communication.
+
+Comm/compute overlap (the next step on real multi-chip slices, per
+BASELINE.json): split each chip's edges into intra-chip (source owned
+locally — messages computable from x BEFORE the exchange) and boundary
+(source remote) groups at partition time, aggregate the intra-chip group
+while the layer's all_gather is in flight, then add the boundary
+contribution. XLA's latency-hiding scheduler performs this overlap when
+the gather result is not on the critical path of the first segment-sum;
+validating the schedule needs a real ICI profile, which a single tunneled
+chip cannot produce — hence not speculatively enabled here.
 """
 
 from __future__ import annotations
