@@ -149,13 +149,17 @@ class StaticGraphDataset:
         # is active the numpy and native engines draw different RNG
         # streams, so the effective backend joins the key too.
         key = (f"h{h}_sr{sample_ratio:g}_mnph{max_nodes_per_hop}"
-               f"_f{int(u_features is not None)}_s{seed}_n{len(links[0])}")
+               f"_f{int(u_features is not None)}_n{len(links[0])}")
         if sample_ratio < 1.0 or max_nodes_per_hop is not None:
+            # Only subsampling consumes RNG, so the stream seed and the
+            # engine (numpy/native draw different streams) join the key
+            # only then — otherwise every model seed would needlessly
+            # re-extract an identical dataset.
             from ..graphs import native as _native
 
             eff = ("native" if backend in ("auto", "native")
                    and _native.available() else "numpy")
-            key += f"_b{eff}"
+            key += f"_s{seed}_b{eff}"
         name = (f"data_{key}.npz" if max_num is None
                 else f"data_{key}_m{max_num}.npz")
         cache = os.path.join(root, "processed", name) if root else None
