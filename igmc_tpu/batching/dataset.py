@@ -150,7 +150,14 @@ class StaticGraphDataset:
         # streams, so the effective backend joins the key too.
         key = (f"h{h}_sr{sample_ratio:g}_mnph{max_nodes_per_hop}"
                f"_f{int(u_features is not None)}_n{len(links[0])}")
-        if sample_ratio < 1.0 or max_nodes_per_hop is not None:
+        # A per-hop cap at least as large as the bigger bipartite side can
+        # never bind (a fringe is a subset of one side's nodes), so e.g.
+        # the CLI default mnph=10000 on 3000x3000 Monti graphs is a no-op.
+        side = max(A.shape) if hasattr(A, "shape") else max(
+            A.num_users, A.num_items)
+        mnph_binds = (max_nodes_per_hop is not None
+                      and max_nodes_per_hop < side)
+        if sample_ratio < 1.0 or mnph_binds:
             # Only subsampling consumes RNG, so the stream seed and the
             # engine (numpy/native draw different streams) join the key
             # only then — otherwise every model seed would needlessly
