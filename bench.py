@@ -123,6 +123,25 @@ def main():
         jax.block_until_ready(out)
         dt16 = min(dt16, (time.perf_counter() - t0) / n_iter)
 
+    # Full training step (fwd + bwd + Adam + ARR) on the same batch:
+    # graphs/sec through the optimizer, the end-to-end device number.
+    opt = make_optimizer(1e-3)
+    step = make_train_step(fwd, opt, ARR=0.001)
+    opt_state = jax.device_put(opt.init(params))
+    key = jax.random.PRNGKey(0)
+    p2, s2, loss, n = step(params, opt_state, batch, key)
+    jax.block_until_ready(loss)
+    dts = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        p3, s3 = p2, s2
+        for _ in range(20):
+            p3, s3, loss, n = step(p3, s3, batch, key)
+        jax.block_until_ready(loss)
+        dts = min(dts, (time.perf_counter() - t0) / 20)
+    train_graphs_per_sec = B / dts
+    train_edges_per_sec = 4 * EDGE_PAD / dts
+
     bw = hbm_bandwidth_bytes_per_sec(dev)
     bytes_per_edge = 4 * C + 2 * 4 * C + 12
     roofline = bw / bytes_per_edge
@@ -140,6 +159,9 @@ def main():
             "roofline_edges_per_sec": round(roofline, 1),
             "baseline_semantics": "fraction of HBM roofline (target >= 0.8)",
             "bf16_trunk_edges_per_sec": round(edges_processed / dt16, 1),
+            "train_step_ms": round(dts * 1e3, 3),
+            "train_graphs_per_sec": round(train_graphs_per_sec, 1),
+            "train_edges_per_sec": round(train_edges_per_sec, 1),
             **bench_extraction(),
         },
     }
