@@ -9,39 +9,46 @@ partition the disjoint batch-graph itself:
     the contiguous global node range [d*Nl, (d+1)*Nl);
   * every edge lives on the chip that owns its DESTINATION, so the
     segment-sum aggregation is entirely chip-local;
-  * the only communication is one tiled all_gather of the (small) layer
-    input features per R-GCN layer — boundary-feature exchange riding ICI —
-    plus one all_gather of the final states for target readout and the psum
-    GSPMD inserts for gradients.
+  * communication is BOUNDARY-ONLY: at partition time each chip's edges are
+    split into an intra group (source owned locally) and a boundary group
+    (source remote), and a static halo-exchange plan is built — for every
+    ordered chip pair (s, r), the rows of s that some boundary edge on r
+    reads. Each layer runs ONE `lax.all_to_all` of those rows (P rows per
+    pair, P = the max pair demand) instead of an all_gather of the full
+    [N, C] table. Per-layer interconnect volume drops from
+    D*(D-1)*Nl*C*4 bytes to D*(D-1)*P*C*4 — see `comm_stats`.
+  * target readout exchanges only the (<= 2*Bl per chip) remote target rows
+    of the concatenated states through a second, smaller halo plan, instead
+    of all_gathering the [N, sum(latent)] table.
 
-Per-edge messages use the basis-mix formulation (models/rgcn.py): gather
-from the all-gathered [N, Cin] table, mix the (at most num_bases) bases per
-edge, one MXU matmul — per-chip FLOPs scale with local edges only, so the
-compute (and the edges/sec metric) scales linearly with chips while the
-all_gather volume stays N*Cin*4 bytes per layer.
+Comm/compute OVERLAP falls out of the split: the intra group's messages and
+segment-sum depend only on chip-local x, so they are scheduled while the
+all_to_all is in flight (XLA's latency-hiding scheduler hoists the collective
+start; the boundary group is the only consumer of its result). The boundary
+contribution is then added to the same accumulator.
+
+Per-edge messages use the basis-mix formulation (models/rgcn.py): gather the
+source row, mix the (at most num_bases) bases per edge, one MXU matmul —
+per-chip FLOPs scale with local edges only, so compute (and the edges/sec
+metric) scales linearly with chips while the exchanged bytes track the
+partition cut, not N.
 
 Edge dropout across chips: the two directed copies of an undirected edge may
 land on different chips, so the mask-broadcast trick of ops/dropout.py does
 not apply. Instead each edge carries its global canonical-pair id and the
 keep decision is a stateless integer hash of (seed, pair id) — both copies
-compute the same Bernoulli with no communication.
-
-Comm/compute overlap (the next step on real multi-chip slices, per
-BASELINE.json): split each chip's edges into intra-chip (source owned
-locally — messages computable from x BEFORE the exchange) and boundary
-(source remote) groups at partition time, aggregate the intra-chip group
-while the layer's all_gather is in flight, then add the boundary
-contribution. XLA's latency-hiding scheduler performs this overlap when
-the gather result is not on the critical path of the first segment-sum;
-validating the schedule needs a real ICI profile, which a single tunneled
-chip cannot produce — hence not speculatively enabled here.
+compute the same Bernoulli with no communication. With
+force_undirected=False the GLOBAL destination (reconstructed as
+axis_index*Nl + local dst) is mixed in so the two directed copies drop
+independently (a bipartite graph has no self-loops, so (pair, global dst)
+uniquely names a directed copy).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -66,22 +73,31 @@ class EPBatch:
     """One collated GraphBatch, edge-partitioned for D chips.
 
     All arrays carry a leading device axis [D, ...] to be sharded over
-    ('data',). Node/graph axes are block-partitioned; `edge_src` stays a
-    GLOBAL node index (it addresses the all-gathered feature table) while
-    `edge_dst` is LOCAL to the owning chip's node block.
+    ('data',). Node/graph axes are block-partitioned. Edges are split into
+    an INTRA group (both endpoints chip-local; indices local) and a BOUNDARY
+    group whose `bnd_src` indexes the halo-exchange receive table
+    (slot s*P + k = the k-th row peer s sends this chip); `*_dst` are always
+    local to the owning chip's node block.
     """
 
     node_label: np.ndarray   # int32 [D, Nl]
     node_mask: np.ndarray    # bool  [D, Nl]
-    edge_src: np.ndarray     # int32 [D, El]  global node index
-    edge_dst: np.ndarray     # int32 [D, El]  local node index on owner chip
-    edge_type: np.ndarray    # int32 [D, El]
-    edge_pair: np.ndarray    # int32 [D, El]  global undirected-pair id
-    edge_mask: np.ndarray    # bool  [D, El]
+    intra_src: np.ndarray    # int32 [D, Ei]  local node index
+    intra_dst: np.ndarray    # int32 [D, Ei]  local node index
+    intra_type: np.ndarray   # int32 [D, Ei]
+    intra_pair: np.ndarray   # int32 [D, Ei]  global undirected-pair id
+    intra_mask: np.ndarray   # bool  [D, Ei]
+    bnd_src: np.ndarray      # int32 [D, Eb]  halo slot (s*P + k)
+    bnd_dst: np.ndarray      # int32 [D, Eb]  local node index
+    bnd_type: np.ndarray     # int32 [D, Eb]
+    bnd_pair: np.ndarray     # int32 [D, Eb]  global undirected-pair id
+    bnd_mask: np.ndarray     # bool  [D, Eb]
+    send_idx: np.ndarray     # int32 [D, D, P]   local rows sent to each peer
+    tgt_send_idx: np.ndarray  # int32 [D, D, Pt] local rows for target readout
     y: np.ndarray            # float32 [D, Bl]
     graph_mask: np.ndarray   # bool  [D, Bl]
-    target_u: np.ndarray     # int32 [D, Bl]  global node index
-    target_v: np.ndarray     # int32 [D, Bl]  global node index
+    target_u: np.ndarray     # int32 [D, Bl]  EXTENDED index into [Nl + D*Pt]
+    target_v: np.ndarray     # int32 [D, Bl]  EXTENDED index into [Nl + D*Pt]
     u_feat: Optional[np.ndarray] = None  # float32 [D, Bl, du]
     v_feat: Optional[np.ndarray] = None  # float32 [D, Bl, dv]
 
@@ -92,8 +108,11 @@ class EPBatch:
 
 def _register_pytree():
     fields = [
-        "node_label", "node_mask", "edge_src", "edge_dst", "edge_type",
-        "edge_pair", "edge_mask", "y", "graph_mask", "target_u", "target_v",
+        "node_label", "node_mask",
+        "intra_src", "intra_dst", "intra_type", "intra_pair", "intra_mask",
+        "bnd_src", "bnd_dst", "bnd_type", "bnd_pair", "bnd_mask",
+        "send_idx", "tgt_send_idx",
+        "y", "graph_mask", "target_u", "target_v",
         "u_feat", "v_feat",
     ]
     jax.tree_util.register_pytree_node(
@@ -106,27 +125,99 @@ def _register_pytree():
 _register_pytree()
 
 
+def _round8(n: int, lo: int = 8) -> int:
+    return max(lo, int(-(-n // 8) * 8))
+
+
+def _build_halo(needed_global: Sequence[np.ndarray], D: int, Nl: int,
+                ) -> Tuple[np.ndarray, List[Dict[int, int]]]:
+    """Static halo-exchange plan from per-chip remote-row demands.
+
+    needed_global[r] = global row ids chip r reads that another chip owns.
+    Returns (send_idx [D, D, P] of sender-local rows, ext_map[r] mapping a
+    global row id to its slot s*P + k in chip r's [D*P]-row receive table).
+    Padding slots send row 0; they are never referenced by any edge.
+    """
+    send_lists: List[List[List[int]]] = [
+        [[] for _ in range(D)] for _ in range(D)]
+    slot_of: List[Dict[int, Tuple[int, int]]] = [dict() for _ in range(D)]
+    for r in range(D):
+        for g in np.unique(np.asarray(needed_global[r], dtype=np.int64)):
+            s = int(g) // Nl
+            if s == r:
+                raise ValueError(f"row {g} is local to chip {r}, not remote")
+            slot_of[r][int(g)] = (s, len(send_lists[s][r]))
+            send_lists[s][r].append(int(g) - s * Nl)
+    pair_max = max((len(send_lists[s][r]) for s in range(D) for r in range(D)),
+                   default=0)
+    Pcap = _round8(pair_max, lo=1) if pair_max else 1
+    send_idx = np.zeros((D, D, Pcap), np.int32)
+    for s in range(D):
+        for r in range(D):
+            rows = send_lists[s][r]
+            send_idx[s, r, : len(rows)] = rows
+    ext_map = [
+        {g: s * Pcap + k for g, (s, k) in m.items()} for m in slot_of
+    ]
+    return send_idx, ext_map
+
+
 def partition_batch(batch: GraphBatch, n_devices: int,
                     edge_pad_per_device: Optional[int] = None) -> EPBatch:
     """Partition a flat collated batch: node blocks, dst-owned edges.
 
     Requires num_nodes and num_graphs divisible by n_devices (collate pads
     are already pow-of-2-ish; callers pick pads accordingly). Per-device
-    edge capacity defaults to the max owner load rounded up to 8.
+    intra/boundary edge capacities default to the max owner load rounded up
+    to 8; `edge_pad_per_device` (if given) lower-bounds both.
     """
     D = n_devices
-    N, E, B = batch.num_nodes, batch.num_edges, batch.num_graphs
+    N, B = batch.num_nodes, batch.num_graphs
     if N % D or B % D:
         raise ValueError(f"node pad {N} and graph pad {B} must divide by {D}")
     Nl, Bl = N // D, B // D
 
+    src = np.asarray(batch.edge_src)
     dst = np.asarray(batch.edge_dst)
+    etype = np.asarray(batch.edge_type)
+    pair = np.asarray(batch.edge_canon)
     emask = np.asarray(batch.edge_mask)
-    owner = np.where(emask, dst // Nl, -1)  # padded edges unassigned
-    counts = np.bincount(owner[owner >= 0], minlength=D)
-    El = edge_pad_per_device or max(8, int(-(-counts.max() // 8) * 8))
-    if counts.max() > El:
-        raise ValueError(f"device edge load {counts.max()} > capacity {El}")
+
+    owner = np.where(emask, dst // Nl, -1)          # padded edges unassigned
+    src_owner = src // Nl
+    intra = (owner >= 0) & (src_owner == owner)
+    bnd = (owner >= 0) & (src_owner != owner)
+
+    floor = edge_pad_per_device or 8
+    counts_i = np.bincount(owner[intra], minlength=D)
+    counts_b = np.bincount(owner[bnd], minlength=D)
+    Ei = _round8(max(int(counts_i.max(initial=0)), floor))
+    Eb = _round8(max(int(counts_b.max(initial=0)), floor))
+
+    # Halo plan: chip r needs the remote sources of its boundary edges.
+    needed = [np.unique(src[bnd & (owner == r)]) for r in range(D)]
+    send_idx, ext_map = _build_halo(needed, D, Nl)
+
+    # Target-readout halo plan: remote rows among each chip's target u/v.
+    tu = np.asarray(batch.target_u).reshape(D, Bl)
+    tv = np.asarray(batch.target_v).reshape(D, Bl)
+    gmask = np.asarray(batch.graph_mask).reshape(D, Bl)
+    tgt_needed = []
+    for r in range(D):
+        rows = np.concatenate([tu[r][gmask[r]], tv[r][gmask[r]]])
+        tgt_needed.append(rows[rows // Nl != r])
+    tgt_send_idx, tgt_ext = _build_halo(tgt_needed, D, Nl)
+
+    def remap_targets(t):
+        out = np.zeros((D, Bl), np.int32)
+        for r in range(D):
+            for j in range(Bl):
+                if not gmask[r, j]:
+                    continue
+                g = int(t[r, j])
+                out[r, j] = (g - r * Nl if g // Nl == r
+                             else Nl + tgt_ext[r][g])
+        return out
 
     def z(shape, dt):
         return np.zeros(shape, dt)
@@ -134,49 +225,87 @@ def partition_batch(batch: GraphBatch, n_devices: int,
     out = EPBatch(
         node_label=np.asarray(batch.node_label).reshape(D, Nl),
         node_mask=np.asarray(batch.node_mask).reshape(D, Nl),
-        edge_src=z((D, El), np.int32), edge_dst=z((D, El), np.int32),
-        edge_type=z((D, El), np.int32), edge_pair=z((D, El), np.int32),
-        edge_mask=z((D, El), bool),
+        intra_src=z((D, Ei), np.int32), intra_dst=z((D, Ei), np.int32),
+        intra_type=z((D, Ei), np.int32), intra_pair=z((D, Ei), np.int32),
+        intra_mask=z((D, Ei), bool),
+        bnd_src=z((D, Eb), np.int32), bnd_dst=z((D, Eb), np.int32),
+        bnd_type=z((D, Eb), np.int32), bnd_pair=z((D, Eb), np.int32),
+        bnd_mask=z((D, Eb), bool),
+        send_idx=send_idx, tgt_send_idx=tgt_send_idx,
         y=np.asarray(batch.y).reshape(D, Bl),
-        graph_mask=np.asarray(batch.graph_mask).reshape(D, Bl),
-        target_u=np.asarray(batch.target_u).reshape(D, Bl),
-        target_v=np.asarray(batch.target_v).reshape(D, Bl),
+        graph_mask=gmask,
+        target_u=remap_targets(tu), target_v=remap_targets(tv),
         u_feat=(None if batch.u_feat is None
                 else np.asarray(batch.u_feat).reshape(D, Bl, -1)),
         v_feat=(None if batch.v_feat is None
                 else np.asarray(batch.v_feat).reshape(D, Bl, -1)),
     )
-    src = np.asarray(batch.edge_src)
-    etype = np.asarray(batch.edge_type)
-    pair = np.asarray(batch.edge_canon)
-    # One stable sort by owner, then per-device slots = rank within owner.
-    real = np.nonzero(owner >= 0)[0]
-    order = real[np.argsort(owner[real], kind="stable")]
-    own = owner[order]
-    starts = np.searchsorted(own, np.arange(D))
-    slot = np.arange(len(order)) - starts[own]
-    out.edge_src[own, slot] = src[order]
-    out.edge_dst[own, slot] = dst[order] - own * Nl
-    out.edge_type[own, slot] = etype[order]
-    out.edge_pair[own, slot] = pair[order]
-    out.edge_mask[own, slot] = True
+
+    def fill(group_mask, Ecap, f_src, f_dst, f_type, f_pair, f_mask, map_src):
+        # One stable sort by owner, then per-device slots = rank within owner.
+        real = np.nonzero(group_mask)[0]
+        order = real[np.argsort(owner[real], kind="stable")]
+        own = owner[order]
+        starts = np.searchsorted(own, np.arange(D))
+        slot = np.arange(len(order)) - starts[own]
+        if len(order) and slot.max() >= Ecap:
+            raise ValueError(f"device edge load {slot.max() + 1} > {Ecap}")
+        f_src[own, slot] = map_src(order, own)
+        f_dst[own, slot] = dst[order] - own * Nl
+        f_type[own, slot] = etype[order]
+        f_pair[own, slot] = pair[order]
+        f_mask[own, slot] = True
+
+    fill(intra, Ei, out.intra_src, out.intra_dst, out.intra_type,
+         out.intra_pair, out.intra_mask,
+         lambda order, own: src[order] - own * Nl)
+    fill(bnd, Eb, out.bnd_src, out.bnd_dst, out.bnd_type,
+         out.bnd_pair, out.bnd_mask,
+         lambda order, own: np.array(
+             [ext_map[int(o)][int(s)] for o, s in zip(own, src[order])],
+             np.int32))
     return out
+
+
+def comm_stats(ep: EPBatch, feature_width: int = 32,
+               n_layers: int = 4, readout_width: int = 128) -> dict:
+    """Interconnect bytes of this partition vs the full per-layer all_gather
+    it replaces. Self-pair slots never cross ICI and are excluded."""
+    D, _, Pcap = ep.send_idx.shape
+    Nl = ep.node_label.shape[1]
+    Pt = ep.tgt_send_idx.shape[2]
+    halo_layer = D * (D - 1) * Pcap * feature_width * 4
+    gather_layer = D * (D - 1) * Nl * feature_width * 4
+    cs_w = feature_width * n_layers if readout_width is None else readout_width
+    halo_total = n_layers * halo_layer + D * (D - 1) * Pt * cs_w * 4
+    gather_total = n_layers * gather_layer + D * (D - 1) * Nl * cs_w * 4
+    return {
+        "devices": D, "halo_rows_per_pair": Pcap, "tgt_rows_per_pair": Pt,
+        "local_nodes": Nl,
+        "halo_bytes_per_layer": halo_layer,
+        "allgather_bytes_per_layer": gather_layer,
+        "halo_bytes_total": halo_total,
+        "allgather_bytes_total": gather_total,
+        "reduction_x": (1.0 if halo_total == 0
+                        else round(gather_total / halo_total, 2)),
+    }
 
 
 # ---------------------------------------------------------------------------
 # Stateless hash dropout (communication-free force_undirected)
 # ---------------------------------------------------------------------------
 
-def dropout_key_ids(force_undirected: bool, epair, esrc):
+def dropout_key_ids(force_undirected: bool, epair, gdst):
     """The hash-dropout stream id per edge. force_undirected keys on the
     undirected pair id (both directed copies agree, zero communication);
-    otherwise the GLOBAL source node is mixed in so each directed copy
-    drops independently, matching edge_dropout on the flat path.
-    (edge_dst is chip-local and unusable as a key.)"""
+    otherwise the GLOBAL destination node is mixed in so each directed copy
+    drops independently, matching edge_dropout on the flat path. (gdst is
+    reconstructed on-chip as axis_index*Nl + local dst; bipartite graphs
+    have no self-loops, so (pair, gdst) uniquely names a directed copy.)"""
     if force_undirected:
         return epair
     return (epair.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
-            + esrc.astype(jnp.uint32))
+            + gdst.astype(jnp.uint32))
 
 
 def hash_edge_keep(seed: jnp.ndarray, pair_id: jnp.ndarray, p: float):
@@ -204,61 +333,99 @@ def make_ep_forward(cfg: IGMCConfig, mesh: Mesh):
     """Build igmc_forward over an EPBatch under shard_map.
 
     Matches models/igmc.py igmc_forward numerically (eval mode): same trunk,
-    same mean aggregation, same target readout — verified by tests/test_ep.py.
+    same aggregation, same target readout — verified by tests/test_ep.py.
+    Per layer: ONE boundary-row all_to_all; the intra-edge aggregation has no
+    data dependency on it, so XLA overlaps the exchange with local compute.
     """
     Pd = P("data")
 
-    def local_forward(params, nl, nmask, esrc, edst, etype, epair, emask,
+    def halo_exchange(x, send_idx):
+        # send_idx: [D, P] sender-local rows for each peer; result: the
+        # [D*P, C] receive table (slot s*P+k = k-th row from peer s).
+        Dn, Pcap = send_idx.shape
+        if Dn == 1:
+            return jnp.zeros((Pcap, x.shape[1]), x.dtype)
+        send = x[send_idx]                              # [D, P, C]
+        recv = lax.all_to_all(send, "data", split_axis=0, concat_axis=0)
+        return recv.reshape(Dn * Pcap, x.shape[1])
+
+    def message(conv, xs, ae):
+        # basis-mix: per-edge basis mixture + one MXU matmul (models/rgcn.py)
+        nb, Cin, Cout = conv["basis"].shape
+        z = (ae[:, :, None] * xs[:, None, :]).reshape(-1, nb * Cin)
+        return z @ conv["basis"].reshape(nb * Cin, Cout)
+
+    def aggregate(cfg_aggr, R, Nl, Cout,
+                  msg_i, idst, itype, imf, msg_b, bdst, btype, bmf):
+        if cfg_aggr == "relmean":
+            # mean within each (dst, relation) bucket, summed over relations
+            # — identical to the flat trunk (models/rgcn.py)
+            seg_i = idst * R + itype
+            seg_b = bdst * R + btype
+            s = (jax.ops.segment_sum(msg_i * imf[:, None], seg_i,
+                                     num_segments=Nl * R)
+                 + jax.ops.segment_sum(msg_b * bmf[:, None], seg_b,
+                                       num_segments=Nl * R))
+            cnt = (jax.ops.segment_sum(imf, seg_i, num_segments=Nl * R)
+                   + jax.ops.segment_sum(bmf, seg_b, num_segments=Nl * R))
+            return (s / jnp.maximum(cnt, 1.0)[:, None]
+                    ).reshape(Nl, R, Cout).sum(axis=1)
+        s = (jax.ops.segment_sum(msg_i * imf[:, None], idst, num_segments=Nl)
+             + jax.ops.segment_sum(msg_b * bmf[:, None], bdst,
+                                   num_segments=Nl))
+        if cfg_aggr == "mean":
+            cnt = (jax.ops.segment_sum(imf, idst, num_segments=Nl)
+                   + jax.ops.segment_sum(bmf, bdst, num_segments=Nl))
+            s = s / jnp.maximum(cnt, 1.0)[:, None]
+        elif cfg_aggr != "sum":
+            raise NotImplementedError(
+                f"EP path supports aggr mean/sum/relmean, not {cfg_aggr}")
+        return s
+
+    def local_forward(params, nl, nmask, isrc, idst, itype, ipair, imask,
+                      bsrc, bdst, btype, bpair, bmask, send_idx, tgt_send_idx,
                       tu, tv, uf, vf, seed, training):
         # strip the leading local device axis (size 1 inside shard_map)
         nl, nmask = nl[0], nmask[0]
-        esrc, edst, etype = esrc[0], edst[0], etype[0]
-        epair, emask = epair[0], emask[0]
+        isrc, idst, itype, ipair, imask = (
+            isrc[0], idst[0], itype[0], ipair[0], imask[0])
+        bsrc, bdst, btype, bpair, bmask = (
+            bsrc[0], bdst[0], btype[0], bpair[0], bmask[0])
+        send_idx, tgt_send_idx = send_idx[0], tgt_send_idx[0]
         tu, tv = tu[0], tv[0]
         Nl = nl.shape[0]
 
         x = jax.nn.one_hot(nl, cfg.num_features, dtype=jnp.float32)
         x = x * nmask[:, None].astype(jnp.float32)
 
-        em = emask
+        im, bm = imask, bmask
         if training and cfg.adj_dropout > 0:
-            key_id = dropout_key_ids(cfg.force_undirected, epair, esrc)
-            em = jnp.logical_and(em, hash_edge_keep(seed, key_id, cfg.adj_dropout))
-        emf = em.astype(jnp.float32)
+            d0 = lax.axis_index("data") * Nl
+            ki = dropout_key_ids(cfg.force_undirected, ipair, d0 + idst)
+            kb = dropout_key_ids(cfg.force_undirected, bpair, d0 + bdst)
+            im = jnp.logical_and(im, hash_edge_keep(seed, ki, cfg.adj_dropout))
+            bm = jnp.logical_and(bm, hash_edge_keep(seed, kb, cfg.adj_dropout))
+        imf = im.astype(jnp.float32)
+        bmf = bm.astype(jnp.float32)
 
+        R = cfg.num_relations
         states = []
         for conv in params["convs"]:
-            x_full = lax.all_gather(x, "data", tiled=True)   # [N, Cin] boundary exchange
-            xs = x_full[esrc]                                # [El, Cin]
-            ae = conv["att"][etype]                          # [El, B]
-            nb, Cin, Cout = conv["basis"].shape
-            z = (ae[:, :, None] * xs[:, None, :]).reshape(-1, nb * Cin)
-            msg = z @ conv["basis"].reshape(nb * Cin, Cout)  # MXU
-            if cfg.aggr == "relmean":
-                # mean within each (dst, relation) bucket, summed over
-                # relations — identical to the flat trunk (models/rgcn.py)
-                R = cfg.num_relations
-                seg = edst * R + etype
-                s = jax.ops.segment_sum(msg * emf[:, None], seg,
-                                        num_segments=Nl * R)
-                cnt = jax.ops.segment_sum(emf, seg, num_segments=Nl * R)
-                s = (s / jnp.maximum(cnt, 1.0)[:, None]
-                     ).reshape(Nl, R, Cout).sum(axis=1)
-            else:
-                s = jax.ops.segment_sum(msg * emf[:, None], edst,
-                                        num_segments=Nl)
-                if cfg.aggr == "mean":
-                    cnt = jax.ops.segment_sum(emf, edst, num_segments=Nl)
-                    s = s / jnp.maximum(cnt, 1.0)[:, None]
-                elif cfg.aggr != "sum":
-                    raise NotImplementedError(
-                        f"EP path supports aggr mean/sum/relmean, not {cfg.aggr}")
+            # Launch the boundary-row exchange FIRST; the intra messages
+            # below have no data dependency on it and overlap it.
+            halo = halo_exchange(x, send_idx)            # [D*P, Cin]
+            msg_i = message(conv, x[isrc], conv["att"][itype])
+            msg_b = message(conv, halo[bsrc], conv["att"][btype])
+            Cout = conv["basis"].shape[2]
+            s = aggregate(cfg.aggr, R, Nl, Cout,
+                          msg_i, idst, itype, imf, msg_b, bdst, btype, bmf)
             x = jnp.tanh(s + x @ conv["root"] + conv["bias"])
             states.append(x)
-        cs = jnp.concatenate(states, axis=1)                 # [Nl, sum(latent)]
-        cs_full = lax.all_gather(cs, "data", tiled=True)     # [N, sum(latent)]
+        cs = jnp.concatenate(states, axis=1)             # [Nl, sum(latent)]
+        tgt_halo = halo_exchange(cs, tgt_send_idx)       # [D*Pt, sum(latent)]
+        table = jnp.concatenate([cs, tgt_halo], axis=0)  # [Nl + D*Pt, sum]
 
-        h = jnp.concatenate([cs_full[tu], cs_full[tv]], axis=1)  # [Bl, 2*sum]
+        h = jnp.concatenate([table[tu], table[tv]], axis=1)  # [Bl, 2*sum]
         if cfg.side_features:
             h = jnp.concatenate([h, uf[0], vf[0]], axis=1)
         h = jax.nn.relu(linear_apply(params["lin1"], h))
@@ -267,7 +434,7 @@ def make_ep_forward(cfg: IGMCConfig, mesh: Mesh):
                                    lax.axis_index("data"))
             h = feature_dropout(k, h, 0.5, True)
         out = linear_apply(params["lin2"], h)[:, 0] * cfg.multiply_by
-        return out[None]                                     # [1, Bl]
+        return out[None]                                 # [1, Bl]
 
     def forward(params, ep: EPBatch, seed, training: bool = False):
         uf = ep.u_feat if ep.u_feat is not None else jnp.zeros(
@@ -277,11 +444,16 @@ def make_ep_forward(cfg: IGMCConfig, mesh: Mesh):
         f = shard_map(
             partial(local_forward, training=training),
             mesh=mesh,
-            in_specs=(P(), Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pd, P()),
+            in_specs=(P(), Pd, Pd, Pd, Pd, Pd, Pd, Pd,
+                      Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pd, P()),
             out_specs=Pd,
         )
-        return f(params, ep.node_label, ep.node_mask, ep.edge_src,
-                 ep.edge_dst, ep.edge_type, ep.edge_pair, ep.edge_mask,
+        return f(params, ep.node_label, ep.node_mask,
+                 ep.intra_src, ep.intra_dst, ep.intra_type, ep.intra_pair,
+                 ep.intra_mask,
+                 ep.bnd_src, ep.bnd_dst, ep.bnd_type, ep.bnd_pair,
+                 ep.bnd_mask,
+                 ep.send_idx, ep.tgt_send_idx,
                  ep.target_u, ep.target_v, uf, vf, seed)  # [D, Bl]
 
     return forward

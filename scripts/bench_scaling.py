@@ -97,6 +97,11 @@ def main():
         jax.block_until_ready(l2)
         dt = (time.perf_counter() - t0) / args.steps
         results["ep"][D] = 4 * args.edges_per_device * D / dt
+        # boundary-halo interconnect bytes vs the full all_gather it replaces
+        from igmc_tpu.parallel.ep import comm_stats
+
+        results.setdefault("ep_comm", {})[D] = comm_stats(
+            ep, feature_width=32, n_layers=4, readout_width=128)
 
     base_dp = results["dp"].get(1)
     base_ep = results["ep"].get(1)
@@ -106,6 +111,11 @@ def main():
             out[f"{mode}_{D}dev_edges_per_sec"] = round(eps, 1)
             if base and D > 1:
                 out[f"{mode}_{D}dev_efficiency"] = round(eps / (base * D), 3)
+    for D, stats in results.get("ep_comm", {}).items():
+        out[f"ep_{D}dev_halo_bytes_per_layer"] = stats["halo_bytes_per_layer"]
+        out[f"ep_{D}dev_allgather_bytes_per_layer"] = (
+            stats["allgather_bytes_per_layer"])
+        out[f"ep_{D}dev_comm_reduction_x"] = stats["reduction_x"]
     print(json.dumps(out))
 
 

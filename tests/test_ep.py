@@ -35,13 +35,63 @@ def test_partition_roundtrip_counts():
     batch = make_batch()
     ep = partition_batch(batch, 8)
     assert ep.node_label.shape == (8, 64)
-    # every real edge lands on exactly one chip
-    assert int(ep.edge_mask.sum()) == int(batch.edge_mask.sum())
-    # each edge's dst is owned by its chip
+    # every real edge lands on exactly one chip, in exactly one group
+    n_real = int(ep.intra_mask.sum()) + int(ep.bnd_mask.sum())
+    assert n_real == int(batch.edge_mask.sum())
+    # each edge's dst is local to its chip; boundary srcs index the halo table
+    D, _, P = ep.send_idx.shape
     for d in range(8):
-        m = ep.edge_mask[d]
-        assert (ep.edge_dst[d][m] >= 0).all()
-        assert (ep.edge_dst[d][m] < 64).all()
+        mi, mb = ep.intra_mask[d], ep.bnd_mask[d]
+        for dst in (ep.intra_dst[d][mi], ep.bnd_dst[d][mb]):
+            assert (dst >= 0).all() and (dst < 64).all()
+        assert (ep.intra_src[d][mi] < 64).all()
+        assert (ep.bnd_src[d][mb] < D * P).all()
+        # no boundary slot claims to come from this chip itself
+        assert (ep.bnd_src[d][mb] // P != d).all()
+
+
+def test_halo_exchange_delivers_correct_rows():
+    """The all_to_all halo must deliver exactly the remote source rows each
+    boundary edge reads: reconstruct every boundary edge's source feature
+    from the halo table and compare with the flat batch's truth."""
+    batch = make_batch(seed=5)
+    D = 8
+    ep = partition_batch(batch, D)
+    Nl = ep.node_label.shape[1]
+    P = ep.send_idx.shape[2]
+    # simulate the exchange on the host: x = global node ids as "features"
+    x_global = np.arange(D * Nl).reshape(D, Nl)
+    halo = np.zeros((D, D * P), np.int64)
+    for r in range(D):
+        for s in range(D):
+            halo[r, s * P:(s + 1) * P] = x_global[s][ep.send_idx[s, r]]
+    # map flat edges (dst-owned) back and check each boundary source
+    src = np.asarray(batch.edge_src)
+    dst = np.asarray(batch.edge_dst)
+    flat_pairs = {}
+    em = np.asarray(batch.edge_mask)
+    for e in np.nonzero(em)[0]:
+        flat_pairs.setdefault((int(dst[e]), int(batch.edge_type[e]),
+                               int(batch.edge_canon[e])), []).append(int(src[e]))
+    for d in range(D):
+        for e in np.nonzero(ep.bnd_mask[d])[0]:
+            gdst = d * Nl + int(ep.bnd_dst[d, e])
+            key = (gdst, int(ep.bnd_type[d, e]), int(ep.bnd_pair[d, e]))
+            got = int(halo[d, ep.bnd_src[d, e]])
+            assert got in flat_pairs[key]
+
+
+def test_comm_stats_reduction():
+    """Boundary-only exchange must move far fewer bytes than the per-layer
+    full all_gather it replaced (VERDICT round-1 item 1)."""
+    from igmc_tpu.parallel.ep import comm_stats
+
+    batch = make_batch()
+    ep = partition_batch(batch, 8)
+    stats = comm_stats(ep, feature_width=32, n_layers=4, readout_width=128)
+    assert stats["halo_bytes_total"] < stats["allgather_bytes_total"]
+    assert stats["reduction_x"] > 1.0
+    assert stats["halo_rows_per_pair"] < stats["local_nodes"] * 8
 
 
 def test_ep_forward_matches_single_device():
@@ -140,19 +190,26 @@ def test_ep_dropout_direction_tying_follows_config():
     # make_ep_forward composes (dropout_key_ids -> hash_edge_keep).
     import numpy as _np
 
+    Nl = ep.node_label.shape[1]
     for fu in (True, False):
-        epair = _np.asarray(ep.edge_pair)
-        key_id = dropout_key_ids(fu, jnp.asarray(ep.edge_pair),
-                                 jnp.asarray(ep.edge_src))
-        keep = _np.asarray(hash_edge_keep(jnp.uint32(3), key_id, 0.5))
-        mask = _np.asarray(ep.edge_mask)
-        # group keep decisions by undirected pair id over real edges
+        # group keep decisions by undirected pair id over real edges,
+        # across both the intra and boundary groups
         from collections import defaultdict
 
         by_pair = defaultdict(list)
-        for d in range(keep.shape[0]):
-            for e in _np.nonzero(mask[d])[0]:
-                by_pair[int(epair[d, e])].append(bool(keep[d, e]))
+        for pair, ldst, mask in (
+            (ep.intra_pair, ep.intra_dst, ep.intra_mask),
+            (ep.bnd_pair, ep.bnd_dst, ep.bnd_mask),
+        ):
+            D = pair.shape[0]
+            gdst = _np.arange(D)[:, None] * Nl + _np.asarray(ldst)
+            key_id = dropout_key_ids(fu, jnp.asarray(pair),
+                                     jnp.asarray(gdst))
+            keep = _np.asarray(hash_edge_keep(jnp.uint32(3), key_id, 0.5))
+            m = _np.asarray(mask)
+            for d in range(D):
+                for e in _np.nonzero(m[d])[0]:
+                    by_pair[int(pair[d, e])].append(bool(keep[d, e]))
         pairs_with_both = {p: v for p, v in by_pair.items() if len(v) == 2}
         assert pairs_with_both, "expected undirected edge pairs in the batch"
         agree = [a == b for a, b in pairs_with_both.values()]
