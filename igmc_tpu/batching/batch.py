@@ -44,6 +44,11 @@ class GraphBatch:
     target_v: np.ndarray     # int32 [B]   batch-local node idx of target item
     u_feat: Optional[np.ndarray] = None  # float32 [B, du]
     v_feat: Optional[np.ndarray] = None  # float32 [B, dv]
+    # Pytree AUX (static, not a leaf): how a leading stack axis should be
+    # interpreted — None (flat), "superbatch" (scan over K training steps),
+    # or "devices" (one sub-batch per mesh device). Consumers must not
+    # infer this from y.ndim (ADVICE round 1: the two stacks are ambiguous).
+    stacked: Optional[str] = None
 
     @property
     def num_graphs(self) -> int:
@@ -71,8 +76,8 @@ def _register_pytree():
     ]
     jax.tree_util.register_pytree_node(
         GraphBatch,
-        lambda b: ([getattr(b, f) for f in fields], None),
-        lambda _, xs: GraphBatch(*xs),
+        lambda b: ([getattr(b, f) for f in fields], b.stacked),
+        lambda aux, xs: GraphBatch(*xs, stacked=aux),
     )
 
 

@@ -29,6 +29,29 @@ from ..graphs.extract import Subgraph, extract_many
 from .batch import GraphBatch, collate, pad_ladder, bucket_for, topk_sum_bound
 
 
+def _adjacency_digest(A, labels, class_values) -> str:
+    """Short content digest of everything that shapes extracted subgraphs
+    beyond the structural cache key: the adjacency VALUES (rating_map /
+    post_rating_map / --standard-rating rewrite them in place, changing
+    edge types without changing n/h/mnph), the link labels, and the
+    class-value table (targets). Guards against serving a stale .npz after
+    a rating-map flag toggle on the same data root."""
+    import hashlib
+
+    h = hashlib.sha1()
+    if isinstance(A, BipartiteCSR):
+        parts = (A.u_indptr, A.u_indices, A.u_data)
+    else:
+        Ac = A.tocsr() if hasattr(A, "tocsr") else A
+        parts = (Ac.indptr, Ac.indices, Ac.data)
+    for p in parts:
+        h.update(np.ascontiguousarray(p).tobytes())
+    h.update(np.ascontiguousarray(np.asarray(labels)).tobytes())
+    if class_values is not None:
+        h.update(np.ascontiguousarray(np.asarray(class_values)).tobytes())
+    return h.hexdigest()[:10]
+
+
 def _apply_max_num(links, labels, max_num):
     if max_num is None:
         return links, labels
@@ -149,7 +172,8 @@ class StaticGraphDataset:
         # is active the numpy and native engines draw different RNG
         # streams, so the effective backend joins the key too.
         key = (f"h{h}_sr{sample_ratio:g}_mnph{max_nodes_per_hop}"
-               f"_f{int(u_features is not None)}_n{len(links[0])}")
+               f"_f{int(u_features is not None)}_n{len(links[0])}"
+               f"_d{_adjacency_digest(A, labels, class_values)}")
         # A per-hop cap at least as large as the bigger bipartite side can
         # never bind (a fringe is a subset of one side's nodes), so e.g.
         # the CLI default mnph=10000 on 3000x3000 Monti graphs is a no-op.
@@ -298,7 +322,20 @@ class BatchLoader:
         self.drop_last = drop_last
         self.superbatch = superbatch
         self.epoch = 0
+        self.ladder_overflows = 0
         if node_ladder is None or edge_ladder is None:
+            import jax
+
+            if jax.process_count() > 1:
+                # Auto-estimated ladders would be derived from each host's
+                # LOCAL view (e.g. a Subset shard) and could differ between
+                # processes — divergent pad shapes deadlock multi-host
+                # collectives. Explicit identical ladders are mandatory
+                # (igmc_tpu/parallel/multihost.py docstring).
+                raise ValueError(
+                    "multi-process run: pass explicit identical node_ladder/"
+                    "edge_ladder on every host (see capacity_ladders); "
+                    "auto-estimation from local data is host-divergent")
             nl, el = self._estimate_ladders()
             node_ladder = node_ladder or nl
             edge_ladder = edge_ladder or el
@@ -353,9 +390,30 @@ class BatchLoader:
             )
         total_n = sum(g.num_nodes for g in graphs)
         total_e = sum(g.num_edges for g in graphs)
-        node_pad = bucket_for(total_n, self.node_ladder)
-        edge_pad = bucket_for(total_e, self.edge_ladder)
+        node_pad = self._bucket(total_n, self.node_ladder, "node")
+        edge_pad = self._bucket(total_e, self.edge_ladder, "edge")
         return collate(graphs, self.batch_size, node_pad, edge_pad)
+
+    def _bucket(self, n: int, ladder, which: str) -> int:
+        """bucket_for with overflow telemetry: a batch above the ladder mints
+        a new size by EXTENDING the ladder geometrically (so the shape is
+        remembered and reused — one recompile per extension step, not one
+        per batch) and counts/logs the event. A power-law dynamic dataset
+        whose sampled estimate ran low therefore converges to a few extra
+        shapes instead of silently recompiling every batch."""
+        if n <= ladder[-1]:
+            return bucket_for(n, ladder)
+        import logging
+
+        before = ladder[-1]
+        while ladder[-1] < n:
+            ladder.append(int(np.ceil(ladder[-1] * 1.5 / 8.0)) * 8)
+        self.ladder_overflows += 1
+        logging.getLogger("igmc_tpu.batching").warning(
+            "%s ladder overflow #%d: batch needs %d > %d; extended to %d "
+            "(new XLA compile)", which, self.ladder_overflows, n, before,
+            ladder[-1])
+        return ladder[-1]
 
     def _make_superbatch(self, idx_chunks) -> GraphBatch:
         """Collate K index chunks into one common bucket and stack on a
@@ -375,9 +433,9 @@ class BatchLoader:
         # the other stays at the fixed maximum and shape churn (= scan
         # recompiles) is bounded to one extra shape per overflow axis.
         if need_n > node_pad:
-            node_pad = bucket_for(need_n, self.node_ladder)
+            node_pad = self._bucket(need_n, self.node_ladder, "node")
         if need_e > edge_pad:
-            edge_pad = bucket_for(need_e, self.edge_ladder)
+            edge_pad = self._bucket(need_e, self.edge_ladder, "edge")
         subs = [collate(gs, self.batch_size, node_pad, edge_pad)
                 for gs in graph_lists]
         return stack_batches(subs)

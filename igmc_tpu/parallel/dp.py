@@ -23,14 +23,19 @@ from ..batching.batch import GraphBatch, collate, bucket_for
 from ..models.igmc import arr_regularizer
 
 
-def stack_batches(batches: Sequence[GraphBatch]) -> GraphBatch:
-    """Stack equal-shape sub-batches on a new leading device axis."""
+def stack_batches(batches: Sequence[GraphBatch],
+                  kind: str = "superbatch") -> GraphBatch:
+    """Stack equal-shape sub-batches on a new leading axis, marking its
+    meaning on the pytree aux: "superbatch" (scan over K steps) or
+    "devices" (one sub-batch per mesh device)."""
     def stk(*xs):
         if xs[0] is None:
             return None
         return np.stack(xs)
 
-    return jax.tree_util.tree_map(stk, *batches, is_leaf=lambda x: x is None)
+    out = jax.tree_util.tree_map(stk, *batches, is_leaf=lambda x: x is None)
+    out.stacked = kind
+    return out
 
 
 def split_for_devices(graphs, n_devices: int, per_device_graphs: int,
@@ -60,7 +65,7 @@ def split_for_devices(graphs, n_devices: int, per_device_graphs: int,
             if s.u_feat is None:
                 s.u_feat = np.zeros((per_device_graphs, du), np.float32)
                 s.v_feat = np.zeros((per_device_graphs, dv), np.float32)
-    return stack_batches(subs)
+    return stack_batches(subs, kind="devices")
 
 
 def make_dp_train_step(forward: Callable, optimizer, ARR: float,

@@ -203,7 +203,14 @@ def make_eval_step(forward: Callable):
         return jnp.sum(sses), jnp.sum(cnts), preds
 
     def dispatch(params, batch):
-        if batch.y.ndim == 2:  # stacked superbatch [K, B]
+        # Explicit stack marker, NOT y.ndim: a device-stacked DP batch is
+        # also 2-D and a scan here would serialize the device axis.
+        stacked = getattr(batch, "stacked", None)
+        if stacked == "devices":
+            raise ValueError(
+                "device-stacked batch passed to the scalar eval step — "
+                "use make_dp_eval_step for mesh-sharded evaluation")
+        if stacked == "superbatch":
             return scan_step(params, batch)
         return step(params, batch)
 
@@ -223,7 +230,8 @@ def train_epoch(step_fn, state: TrainState, loader: BatchLoader, key,
     params, opt_state = state.params, state.opt_state
     i = 0
     for batch in loader:
-        if batch.y.ndim == 2 and scan_step_fn is not None:
+        if (getattr(batch, "stacked", None) == "superbatch"
+                and scan_step_fn is not None):
             # stacked superbatch: K steps in one dispatch
             K = batch.y.shape[0]
             params, opt_state, contrib, _ = scan_step_fn(
@@ -457,6 +465,12 @@ def train_multiple_epochs(
                 len(train_dataset), sb,
             )
         else:
+            # Shuffle under the ABSOLUTE epoch number — the same
+            # SeedSequence([seed, epoch]) convention as the device-resident
+            # path above, so (a) both paths train on identical batch orders
+            # for a given seed and (b) a resumed run replays the orders the
+            # uninterrupted run would have used.
+            train_loader.epoch = epoch
             train_loss = train_epoch(
                 step_fn, state, train_loader, epoch_key, len(train_dataset),
                 scan_step_fn=scan_step_fn,
@@ -478,6 +492,8 @@ def train_multiple_epochs(
         msg = "Epoch {}, train loss {:.6f}, test rmse {:.6f}".format(
             *info.values()
         )
+        if train_loader is not None and train_loader.ladder_overflows:
+            msg += f" [ladder overflows: {train_loader.ladder_overflows}]"
         if pbar is not None:
             pbar.set_description(msg)
         else:

@@ -232,6 +232,80 @@ def test_global_batch_from_local_single_process(tmp_path):
     assert g.node_label.sharding.spec == ref.node_label.sharding.spec
 
 
+def test_two_process_jax_distributed_dp_step():
+    """The multihost recipe (multihost.py docstring) across a REAL process
+    boundary: 2 jax.distributed processes x 4 CPU devices each run one DP
+    step on their process_shard_indices shard; both must agree with each
+    other and with the single-process value on the same global batch
+    (VERDICT round-1 item 2)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from tests._distributed_child import build_local_stack, make_graphs
+
+    # reserve a coordinator port
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coord = f"localhost:{port}"
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    child = os.path.join(os.path.dirname(__file__), "_distributed_child.py")
+    procs = [
+        subprocess.Popen([sys.executable, child, coord, str(pid)],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True, env=env)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"child failed:\n{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    assert outs[0]["pid"] == 0 and outs[1]["pid"] == 1
+    assert outs[0]["n"] == outs[1]["n"] == 8.0
+    assert outs[0]["loss"] == outs[1]["loss"]  # SPMD: bitwise-identical
+    assert outs[0]["param_fingerprint"] == outs[1]["param_fingerprint"]
+
+    # single-process reference on the in-test 8-device mesh, same global
+    # batch assembly (process 0's shard then process 1's)
+    from igmc_tpu.models import IGMCConfig, igmc_forward, igmc_init
+    from igmc_tpu.parallel import (global_batch_from_local, make_mesh,
+                                   process_shard_indices, replicated_sharding)
+    from igmc_tpu.train.loop import make_optimizer
+
+    graphs = make_graphs()
+    order = np.concatenate([process_shard_indices(8, pi, 2)
+                            for pi in range(2)])
+    local = build_local_stack(graphs, order)
+    mesh = make_mesh(n_data=8)
+    batch = global_batch_from_local(local, mesh)
+    cfg = IGMCConfig(num_relations=5, num_bases=2, adj_dropout=0.0)
+    params = igmc_init(jax.random.PRNGKey(0), cfg)
+    fwd = lambda p, b, key=None, training=False: igmc_forward(
+        p, b, cfg, key, training=False)
+    opt = make_optimizer(1e-3)
+    step = make_dp_train_step(fwd, opt, 0.001, mesh, batch_sharding(mesh),
+                              replicated_sharding(mesh))
+    _, _, loss, n = step(jax.device_put(params, replicated_sharding(mesh)),
+                         jax.device_put(opt.init(params),
+                                        replicated_sharding(mesh)),
+                         batch, jax.random.PRNGKey(0))
+    assert float(n) == 8.0
+    np.testing.assert_allclose(outs[0]["loss"], float(loss), rtol=1e-6)
+
+
 def test_subset_of_dynamic_dataset_estimates_ladders():
     """BatchLoader(Subset(dynamic)) must fall back to sampling-based ladder
     estimation (Subset only exposes node_counts when the inner dataset has
