@@ -1,21 +1,31 @@
-"""Benchmark: R-GCN aggregate throughput (edges/sec/chip) on the real device.
+"""Benchmark: R-GCN aggregate throughput (REAL edges/sec/chip) on the device.
 
 The north-star metric from BASELINE.json: edges/sec/chip on the R-GCN
 aggregate (gather -> per-relation transform -> scatter-mean), the hot kernel
-of IGMC's forward (/root/reference/models.py:200-202). The reference has no
-machine-readable baseline (BASELINE.json published: {}), so `vs_baseline`
-reports the fraction of the HBM-bandwidth roofline achieved on this chip —
-BASELINE.json's own target is >= 80% of SpMM roofline (vs_baseline >= 0.8).
+of IGMC's forward (/root/reference/models.py:200-202). Only edges with
+edge_mask set are counted — padding is excluded (round-1 VERDICT item 3).
 
-Roofline model (v5e, ~819 GB/s HBM): the aggregate is memory-bound IF every
-edge round-trips HBM. Per directed edge that minimum traffic is:
-  gather 4*C bytes of source features + scatter-accumulate 2*4*C bytes
-  (read+write) + 3 int32 indices = 12 bytes        (C = feature width, 32)
-  => ~396 bytes/edge  =>  HBM roofline ~2.07e9 edges/s.
-vs_baseline > 1.0 means the kernel beats the HBM-residency bound: the padded
-batch fits in VMEM, so XLA keeps the layer pipeline on-chip (the point of
-static-shape bucketing) and the flattened-index gather (models/rgcn.py)
-runs at VMEM bandwidth.
+`vs_baseline` semantics (the reference repo publishes no machine-readable
+numbers — BASELINE.json published: {}): the ratio of the achieved real-edge
+rate to the HBM-STREAMING SPEED OF LIGHT for the same kernel — the best any
+implementation can do if every edge's data round-trips HBM (gather 4*C B,
+scatter-accumulate 8*C B, 12 B of indices). That bound is a BASELINE (floor
+to beat), not a ceiling: the point of static-shape bucketing is that the
+working set stays VMEM-resident, so values > 1 mean the design goal is met.
+The bound's realism is cross-checked by MEASURING the same model at an
+HBM-resident shape (working set >> 16 MB VMEM) — reported as
+`hbm_resident_edges_per_sec` next to the theoretical bound. Target >= 0.8.
+
+Timing methodology: the tunneled device acks small programs before they
+finish, so single-dispatch wall-clocks lie (see project notes). Every number
+here comes from ONE jit containing a lax.scan of K >= 32 forward passes
+chained by a data dependency (each iteration's output feeds the next
+iteration's bias), with calls themselves chained by threading the carry —
+each timed unit is >= ~10 ms of genuinely serialized device work.
+
+Shapes benched (per round-1 VERDICT): R=5 (Monti/douban, dispatch), R=10
+(flixster, dispatch), R=71 (yahoo_music, basis-mix — auto-selected because
+the R*N dispatch table would blow VMEM).
 """
 
 from __future__ import annotations
@@ -37,6 +47,18 @@ def hbm_bandwidth_bytes_per_sec(device) -> float:
     if "v6" in kind or "trillium" in kind:
         return 1640e9
     return 819e9  # conservative default
+
+
+def hbm_roofline_edges_per_sec(device, C: int) -> float:
+    """Minimum HBM traffic per directed edge if nothing stays on-chip:
+    gather 4*C bytes of source features, scatter-accumulate 2*4*C bytes
+    (read+write), 3 int32 indices."""
+    bytes_per_edge = 4 * C + 2 * 4 * C + 12
+    return hbm_bandwidth_bytes_per_sec(device) / bytes_per_edge
+
+
+def real_edges(batch) -> int:
+    return int(np.asarray(batch.edge_mask).sum())
 
 
 def bench_extraction(n_links: int = 30000) -> dict:
@@ -73,7 +95,64 @@ def bench_extraction(n_links: int = 30000) -> dict:
     return out
 
 
-def main():
+def make_chained_forward(cfg, K: int):
+    """ONE jit running K serialized forwards: iteration k's prediction sum
+    perturbs iteration k+1's output bias (x1e-30), so the device cannot
+    overlap or elide any of the K passes; the returned carry chains calls."""
+    import jax
+    import jax.numpy as jnp
+
+    from igmc_tpu.models import igmc_forward
+
+    @jax.jit
+    def chained(params, batch, c0):
+        def body(c, _):
+            p2 = dict(params)
+            lin2 = dict(params["lin2"])
+            lin2["bias"] = lin2["bias"] + c
+            p2["lin2"] = lin2
+            preds = igmc_forward(p2, batch, cfg, key=None, training=False)
+            return jnp.sum(preds) * 1e-30, None
+
+        c, _ = jax.lax.scan(body, c0, None, length=K)
+        return c
+
+    return chained
+
+
+def time_chained(chained, params, batch, K: int, calls: int = 4,
+                 rounds: int = 3) -> float:
+    """Seconds per single forward pass, by CALL-COUNT DIFFERENCING.
+
+    The tunneled backend acks small output buffers before the program has
+    executed, so block_until_ready on the scalar carry lies; only a value
+    fetch (float()) hard-syncs. The fetch costs one tunnel round trip, so
+    each round times `calls` and `4*calls` carry-chained invocations and
+    takes the difference — the RTT and launch overheads cancel, leaving
+    pure per-iteration device time. Best (smallest) of `rounds`."""
+    import jax.numpy as jnp
+
+    c = chained(params, batch, jnp.float32(0.0))
+    float(c)  # compile + hard sync
+
+    def run(n, c):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            c = chained(params, batch, c)
+        float(c)  # hard sync: value fetch waits for real execution
+        return time.perf_counter() - t0, c
+
+    best = float("inf")
+    for _ in range(rounds):
+        t_lo, c = run(calls, c)
+        t_hi, c = run(4 * calls, c)
+        best = min(best, (t_hi - t_lo) / (3 * calls * K))
+    return best
+
+
+def bench_shape(name: str, num_relations: int, node_pad: int, edge_pad: int,
+                batch_graphs: int, device, K: int = 64, calls: int = 4,
+                compute_dtype=None, train: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -81,88 +160,105 @@ def main():
     from igmc_tpu.models import IGMCConfig, igmc_forward, igmc_init
     from igmc_tpu.train.loop import make_optimizer, make_train_step
 
+    cfg = IGMCConfig(num_relations=num_relations, num_bases=4,
+                     adj_dropout=0.0, compute_dtype=compute_dtype)
+    params = jax.device_put(igmc_init(jax.random.PRNGKey(0), cfg))
+    batch = _synthetic_batch(num_graphs=batch_graphs, node_pad=node_pad,
+                             edge_pad=edge_pad, num_relations=num_relations)
+    n_real = real_edges(batch)
+    batch = jax.device_put(batch)
+
+    chained = make_chained_forward(cfg, K)
+    dt = time_chained(chained, params, batch, K, calls)
+    layers = len(cfg.latent_dim)
+    out = {
+        f"{name}_forward_ms": round(dt * 1e3, 4),
+        f"{name}_real_edges_per_sec": round(layers * n_real / dt, 1),
+        f"{name}_real_edges": n_real,
+        f"{name}_padded_edges": edge_pad,
+    }
+
+    if train:
+        # Full step (fwd+bwd+Adam+ARR). Params/opt-state are DONATED by the
+        # step, so the chain must thread the returned buffers continuously —
+        # re-reading pre-donation arrays is a use-after-free (round-1
+        # ADVICE); threading also gives the data dependency that defeats
+        # the tunnel's early-ack on small programs.
+        fwd = lambda p, b, key=None, training=False: igmc_forward(
+            p, b, cfg, key, training)
+        opt = make_optimizer(1e-3)
+        step = make_train_step(fwd, opt, ARR=0.001)
+        key = jax.random.PRNGKey(0)
+        p, s = params, jax.device_put(opt.init(params))
+        p, s, loss, _ = step(p, s, batch, key)          # compile + warmup
+        float(loss)                                     # hard sync
+
+        def run(n, p, s):
+            t0 = time.perf_counter()
+            loss = None
+            for _ in range(n):
+                p, s, loss, _ = step(p, s, batch, key)
+            float(loss)                                 # hard sync
+            return time.perf_counter() - t0, p, s
+
+        n_steps, best = 25, float("inf")
+        for _ in range(3):
+            t_lo, p, s = run(n_steps, p, s)
+            t_hi, p, s = run(4 * n_steps, p, s)
+            best = min(best, (t_hi - t_lo) / (3 * n_steps))
+        out[f"{name}_train_step_ms"] = round(best * 1e3, 3)
+        out[f"{name}_train_graphs_per_sec"] = round(batch_graphs / best, 1)
+        out[f"{name}_train_real_edges_per_sec"] = round(
+            layers * n_real / best, 1)
+    return out
+
+
+def main():
+    import jax
+
     dev = jax.devices()[0]
     C = 32
-    NODE_PAD, EDGE_PAD, B = 8192, 65536, 128
-    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0)
-    params = igmc_init(jax.random.PRNGKey(0), cfg)
-    batch = _synthetic_batch(num_graphs=B, node_pad=NODE_PAD,
-                             edge_pad=EDGE_PAD, num_relations=5)
-    batch = jax.device_put(batch)
-    params = jax.device_put(params)
+    results = {}
 
-    fwd = lambda p, b, key=None, training=False: igmc_forward(
-        p, b, cfg, key, training)
+    # --- headline shape: R=5 dispatch, VMEM-resident bucket ---
+    r5 = bench_shape("r5", 5, 8192, 65536, 128, dev, K=64, train=True)
+    results.update(r5)
+    # bf16 trunk on the same shape
+    results.update(bench_shape("r5_bf16", 5, 8192, 65536, 128, dev, K=64,
+                               compute_dtype="bfloat16"))
+    # --- flixster arity ---
+    results.update(bench_shape("r10", 10, 8192, 65536, 128, dev, K=64))
+    # --- yahoo_music arity: R=71 -> auto basis-mix ---
+    results.update(bench_shape("r71", 71, 8192, 65536, 128, dev, K=32,
+                               train=True))
 
-    # Forward pass over the 4-layer trunk: 4 * EDGE_PAD edge-aggregations.
-    f = jax.jit(lambda p, b: fwd(p, b))
-    out = f(params, batch)
-    jax.block_until_ready(out)
-    n_iter = 100
-    dt = float("inf")
-    for _ in range(3):  # best-of-3 to reject tunnel/dispatch noise
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            out = f(params, batch)
-        jax.block_until_ready(out)
-        dt = min(dt, (time.perf_counter() - t0) / n_iter)
-    edges_processed = 4 * EDGE_PAD  # 4 R-GCN layers per forward
-    eps = edges_processed / dt
+    # --- HBM-resident cross-check: same kernel, working set >> 16MB VMEM ---
+    hbm = bench_shape("hbm_resident_r5", 5, 262144, 2097152, 4096, dev,
+                      K=8, calls=2)
+    results.update(hbm)
 
-    # optional bf16 trunk (same model, compute_dtype="bfloat16")
-    cfg16 = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0,
-                       compute_dtype="bfloat16")
-    f16 = jax.jit(lambda p, b: igmc_forward(p, b, cfg16, None, False))
-    out = f16(params, batch)
-    jax.block_until_ready(out)
-    dt16 = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            out = f16(params, batch)
-        jax.block_until_ready(out)
-        dt16 = min(dt16, (time.perf_counter() - t0) / n_iter)
+    results.update(bench_extraction())
 
-    # Full training step (fwd + bwd + Adam + ARR) on the same batch:
-    # graphs/sec through the optimizer, the end-to-end device number.
-    opt = make_optimizer(1e-3)
-    step = make_train_step(fwd, opt, ARR=0.001)
-    opt_state = jax.device_put(opt.init(params))
-    key = jax.random.PRNGKey(0)
-    p2, s2, loss, n = step(params, opt_state, batch, key)
-    jax.block_until_ready(loss)
-    dts = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        p3, s3 = p2, s2
-        for _ in range(20):
-            p3, s3, loss, n = step(p3, s3, batch, key)
-        jax.block_until_ready(loss)
-        dts = min(dts, (time.perf_counter() - t0) / 20)
-    train_graphs_per_sec = B / dts
-    train_edges_per_sec = 4 * EDGE_PAD / dts
-
-    bw = hbm_bandwidth_bytes_per_sec(dev)
-    bytes_per_edge = 4 * C + 2 * 4 * C + 12
-    roofline = bw / bytes_per_edge
-
+    headline = results["r5_real_edges_per_sec"]
+    baseline = hbm_roofline_edges_per_sec(dev, C)
     result = {
-        "metric": "rgcn_aggregate_edges_per_sec_per_chip",
-        "value": round(eps, 1),
+        "metric": "rgcn_aggregate_real_edges_per_sec_per_chip",
+        "value": headline,
         "unit": "edges/s",
-        "vs_baseline": round(eps / roofline, 4),
+        "vs_baseline": round(headline / baseline, 4),
         "detail": {
             "device": str(dev.device_kind),
-            "forward_ms": round(dt * 1e3, 3),
-            "node_pad": NODE_PAD, "edge_pad": EDGE_PAD, "batch_graphs": B,
             "layers": 4, "feature_width": C,
-            "roofline_edges_per_sec": round(roofline, 1),
-            "baseline_semantics": "fraction of HBM roofline (target >= 0.8)",
-            "bf16_trunk_edges_per_sec": round(edges_processed / dt16, 1),
-            "train_step_ms": round(dts * 1e3, 3),
-            "train_graphs_per_sec": round(train_graphs_per_sec, 1),
-            "train_edges_per_sec": round(train_edges_per_sec, 1),
-            **bench_extraction(),
+            "baseline_semantics": (
+                "achieved real-edge rate / HBM-streaming speed-of-light "
+                "for this kernel (gather 4C + scatter 8C + 12 idx bytes "
+                "per edge at full HBM bandwidth). A floor to beat, not a "
+                "ceiling: >1 means the VMEM-resident bucketed design "
+                "outruns any HBM-streaming implementation. Target >= 0.8."),
+            "hbm_streaming_bound_edges_per_sec": round(baseline, 1),
+            "hbm_resident_measured_edges_per_sec": results[
+                "hbm_resident_r5_real_edges_per_sec"],
+            **results,
         },
     }
     print(json.dumps(result))
