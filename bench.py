@@ -95,10 +95,13 @@ def bench_extraction(n_links: int = 30000) -> dict:
     return out
 
 
-def make_chained_forward(cfg, K: int):
+def make_chained_forward(cfg, K: int, aligned=None):
     """ONE jit running K serialized forwards: iteration k's prediction sum
-    perturbs iteration k+1's output bias (x1e-30), so the device cannot
-    overlap or elide any of the K passes; the returned carry chains calls."""
+    perturbs EVERY parameter of iteration k+1 (x1e-30), so XLA's
+    loop-invariant code motion cannot hoist ANY layer out of the scan (a
+    bias-only perturbation lets the whole loop-invariant R-GCN trunk hoist
+    — measured 0.077 ms vs the honest 2.47 ms at the r5 shape); the
+    returned carry chains calls."""
     import jax
     import jax.numpy as jnp
 
@@ -107,11 +110,9 @@ def make_chained_forward(cfg, K: int):
     @jax.jit
     def chained(params, batch, c0):
         def body(c, _):
-            p2 = dict(params)
-            lin2 = dict(params["lin2"])
-            lin2["bias"] = lin2["bias"] + c
-            p2["lin2"] = lin2
-            preds = igmc_forward(p2, batch, cfg, key=None, training=False)
+            p2 = jax.tree_util.tree_map(lambda a: a + c, params)
+            preds = igmc_forward(p2, batch, cfg, key=None, training=False,
+                                 aligned=aligned)
             return jnp.sum(preds) * 1e-30, None
 
         c, _ = jax.lax.scan(body, c0, None, length=K)
@@ -184,6 +185,12 @@ def bench_shape(name: str, num_relations: int, node_pad: int, edge_pad: int,
         # re-reading pre-donation arrays is a use-after-free (round-1
         # ADVICE); threading also gives the data dependency that defeats
         # the tunnel's early-ack on small programs.
+        #
+        # Two numbers: `train_step_ms` times individual dispatches (includes
+        # per-dispatch tunnel/host latency — what non-superbatch training
+        # pays per step) and `train_step_scanned_ms` times a lax.scan of K
+        # steps in ONE dispatch (the default superbatch training path —
+        # pure device time).
         fwd = lambda p, b, key=None, training=False: igmc_forward(
             p, b, cfg, key, training)
         opt = make_optimizer(1e-3)
@@ -207,9 +214,40 @@ def bench_shape(name: str, num_relations: int, node_pad: int, edge_pad: int,
             t_hi, p, s = run(4 * n_steps, p, s)
             best = min(best, (t_hi - t_lo) / (3 * n_steps))
         out[f"{name}_train_step_ms"] = round(best * 1e3, 3)
-        out[f"{name}_train_graphs_per_sec"] = round(batch_graphs / best, 1)
+
+        # Scanned variant: K_t steps fused into one dispatch, as the
+        # superbatch device-resident path runs them (train/loop.py scan_step).
+        K_t = 32
+
+        @jax.jit
+        def scanned(p, s, batch, key):
+            def body(carry, _):
+                p, s = carry
+                p, s, loss, _ = step(p, s, batch, key)
+                return (p, s), loss
+
+            (p, s), losses = jax.lax.scan(body, (p, s), None, length=K_t)
+            return p, s, losses[-1]
+
+        p, s, loss = scanned(p, s, batch, key)
+        float(loss)
+        n_calls, best_s = 3, float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_calls):
+                p, s, loss = scanned(p, s, batch, key)
+            float(loss)
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(4 * n_calls):
+                p, s, loss = scanned(p, s, batch, key)
+            float(loss)
+            t_hi = time.perf_counter() - t0
+            best_s = min(best_s, (t_hi - t_lo) / (3 * n_calls * K_t))
+        out[f"{name}_train_step_scanned_ms"] = round(best_s * 1e3, 3)
+        out[f"{name}_train_graphs_per_sec"] = round(batch_graphs / best_s, 1)
         out[f"{name}_train_real_edges_per_sec"] = round(
-            layers * n_real / best, 1)
+            layers * n_real / best_s, 1)
     return out
 
 

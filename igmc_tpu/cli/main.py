@@ -100,6 +100,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="subgraph extraction engine")
     p.add_argument("--profile-dir", default="",
                    help="if set, write a jax.profiler trace of one epoch here")
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="R-GCN trunk compute dtype; bfloat16 halves message "
+                        "bandwidth at matching RMSE (measured, PARITY.md)")
+    p.add_argument("--conv-strategy", default="auto",
+                   choices=["auto", "dispatch", "basis-mix", "per-edge"],
+                   help="R-GCN relation-transform strategy (auto: dispatch "
+                        "for small R, basis-mix for large R like yahoo_music)")
+    p.add_argument("--superbatch", type=int, default=8,
+                   help="stack this many equal-shape batches into one "
+                        "lax.scan dispatch (single-device; 0 disables)")
     return p
 
 
@@ -249,6 +260,9 @@ def build_model(args, split, n_features, train_graphs=None):
             force_undirected=args.force_undirected,
             side_features=args.use_features, n_side_features=n_features,
             multiply_by=multiply_by, aggr=args.aggr,
+            conv_strategy=args.conv_strategy,
+            compute_dtype=(None if args.compute_dtype == "float32"
+                           else args.compute_dtype),
         )
         params = igmc_init(key, cfg)
         fwd = lambda p, b, key=None, training=False: igmc_forward(
@@ -330,7 +344,7 @@ def main(argv=None):
             logger=logger, continue_from=args.continue_from,
             res_dir=res.path, seed=args.seed,
             profile_dir=args.profile_dir or None,
-            mesh=mesh,
+            superbatch=args.superbatch, mesh=mesh,
         )
 
     ckpt_dir = args.transfer if args.transfer else res.path

@@ -55,6 +55,9 @@ class IGMCConfig:
     conv_strategy: str = "auto"            # rgcn compute strategy
     aggr: str = "mean"                     # rgcn aggregation (mean/sum/relmean)
     compute_dtype: Optional[str] = None    # e.g. "bfloat16" for the trunk
+    use_pallas: bool = False               # fused Pallas aggregate (see kernels/)
+    pallas_rows: int = 256                 # output-chunk rows of the kernel
+    pallas_interpret: bool = False         # interpreter mode (CPU tests)
 
 
 def igmc_init(key, cfg: IGMCConfig):
@@ -77,25 +80,57 @@ def igmc_init(key, cfg: IGMCConfig):
 
 
 def igmc_forward(params, batch: GraphBatch, cfg: IGMCConfig,
-                 key=None, training: bool = False):
-    """Predict a rating per graph in the batch. Returns [B] float32."""
+                 key=None, training: bool = False, aligned=None):
+    """Predict a rating per graph in the batch. Returns [B] float32.
+
+    `aligned`: optional dst-block-aligned edge arrays from
+    `kernels.rgcn_aggregate.block_align_edges` (device tuple). With
+    `cfg.use_pallas` set, the R-GCN aggregate of every layer runs as the
+    fused Pallas kernel instead of the XLA strategy (measured full-model
+    comparison: kernels/README.md). The aligned mask is fixed host-side,
+    so edge dropout is unsupported on this path.
+    """
     N = batch.node_label.shape[0]
     x = jax.nn.one_hot(batch.node_label, cfg.num_features, dtype=jnp.float32)
     x = x * batch.node_mask[:, None].astype(jnp.float32)
 
     emask = batch.edge_mask
     if training and cfg.adj_dropout > 0:
+        if cfg.use_pallas and aligned is not None:
+            raise NotImplementedError(
+                "use_pallas + adj_dropout: the Pallas path bakes the edge "
+                "mask into host-side block alignment; train with "
+                "adj_dropout=0 or the XLA path")
         key, k_edge = jax.random.split(key)
         emask = edge_dropout(k_edge, emask, batch.edge_canon,
                              cfg.adj_dropout, cfg.force_undirected, training)
 
+    pallas = cfg.use_pallas and aligned is not None
+    if pallas:
+        from ..kernels.rgcn_aggregate import _dst_global, rgcn_aggregate_pallas
+
+        if cfg.aggr not in ("mean", "sum"):
+            raise NotImplementedError(f"use_pallas + aggr={cfg.aggr}")
+        amask = aligned[3]
+        dst_glob = _dst_global(aligned, cfg.pallas_rows)
+        deg = jax.ops.segment_sum(amask, dst_glob, num_segments=N)
+        inv_deg = (1.0 / jnp.maximum(deg, 1.0))[:, None]
+
     states = []
     for conv_params in params["convs"]:
-        x = jnp.tanh(
-            rgcn_apply(conv_params, x, batch.edge_src, batch.edge_dst,
-                       batch.edge_type, emask, N, cfg.conv_strategy, cfg.aggr,
-                       jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None)
-        )
+        if pallas:
+            agg = rgcn_aggregate_pallas(
+                x, conv_params["att"], conv_params["basis"], aligned,
+                cfg.pallas_rows, N, cfg.pallas_interpret)
+            if cfg.aggr == "mean":
+                agg = agg * inv_deg
+            x = jnp.tanh(agg + x @ conv_params["root"] + conv_params["bias"])
+        else:
+            x = jnp.tanh(
+                rgcn_apply(conv_params, x, batch.edge_src, batch.edge_dst,
+                           batch.edge_type, emask, N, cfg.conv_strategy, cfg.aggr,
+                           jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None)
+            )
         states.append(x)
     concat_states = jnp.concatenate(states, axis=1)  # [N, sum(latent)]
 

@@ -79,3 +79,23 @@ def test_cli_profile_dir_writes_trace(tmp_path, monkeypatch):
     import glob
     assert glob.glob(str(tmp_path / "trace" / "**" / "*.xplane.pb"),
                      recursive=True), "expected an xplane trace file"
+
+
+@pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+def test_cli_tpu_knobs(tmp_path, monkeypatch):
+    """--compute-dtype bfloat16 / --conv-strategy basis-mix / --superbatch 4
+    (the measured TPU wins, round-1 VERDICT item 7) train end-to-end and
+    produce a finite RMSE through the flag surface."""
+    from igmc_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    main([
+        "--data-name", "flixster", "--testing", "--debug",
+        "--epochs", "2", "--batch-size", "50", "--save-interval", "1",
+        "--max-train-num", "200", "--max-test-num", "80",
+        "--compute-dtype", "bfloat16", "--conv-strategy", "basis-mix",
+        "--superbatch", "4",
+    ])
+    log = (tmp_path / "results" / "flixster_testmode" / "log.txt").read_text()
+    rmse = float(log.strip().splitlines()[-1].split(" ")[-1])
+    assert np.isfinite(rmse) and rmse < 4.0

@@ -114,3 +114,46 @@ def test_pallas_aggregate_grad_matches_xla():
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_use_pallas_full_model_parity():
+    """IGMCConfig.use_pallas: the full IGMC forward and its grads match the
+    XLA strategy path exactly (interpreter mode on CPU) — the wiring behind
+    the full-model measurement in kernels/README.md."""
+    from __graft_entry__ import _synthetic_batch
+    from igmc_tpu.models import IGMCConfig, igmc_forward, igmc_init
+
+    batch = _synthetic_batch(num_graphs=8, node_pad=512, edge_pad=2048,
+                             num_relations=5)
+    al = block_align_edges(np.asarray(batch.edge_src),
+                           np.asarray(batch.edge_dst),
+                           np.asarray(batch.edge_type),
+                           np.asarray(batch.edge_mask),
+                           512, eblk=1024, rows=128)
+    aligned = tuple(jnp.asarray(a) for a in al[:6])
+    for aggr in ("mean", "sum"):
+        cfg_x = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0,
+                           aggr=aggr)
+        cfg_p = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0,
+                           aggr=aggr, use_pallas=True, pallas_rows=128,
+                           pallas_interpret=True)
+        params = igmc_init(jax.random.PRNGKey(0), cfg_x)
+        ref = igmc_forward(params, batch, cfg_x, key=None, training=False)
+        out = igmc_forward(params, batch, cfg_p, key=None, training=False,
+                           aligned=aligned)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    cfg_x = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0)
+    cfg_p = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0,
+                       use_pallas=True, pallas_rows=128, pallas_interpret=True)
+    params = igmc_init(jax.random.PRNGKey(0), cfg_x)
+    gx = jax.grad(lambda p: jnp.sum(
+        igmc_forward(p, batch, cfg_x, key=None, training=False) ** 2))(params)
+    gp = jax.grad(lambda p: jnp.sum(
+        igmc_forward(p, batch, cfg_p, key=None, training=False,
+                     aligned=aligned) ** 2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(gx),
+                    jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-4)
