@@ -1,0 +1,210 @@
+"""Dense-blocked batching: one fixed node SLOT per graph, targets at rows 0/1.
+
+The flat layout (batch.py) concatenates graphs into one disjoint edge list
+and aggregates with segment ops — the direct translation of PyG's Batch.
+On TPU, per-edge gathers and segment scatters are row-serial and dominate
+the whole model (measured: ~0.6 ms/layer at 64k edges on v5e, >90% of the
+step). IGMC's enclosing subgraphs are tiny (p50 ~35-100 nodes on the Monti
+datasets), so the TPU-native layout is DENSE-BLOCKED instead:
+
+  * every graph occupies a fixed slot of `n` node rows -> x is [B, n, C];
+  * the target user sits at row 0 and the target item at row 1, so the
+    readout (/root/reference/models.py:205-207) is a pure slice — no gather;
+  * edges are stored ONCE in the forward (user->item) direction as [B, E]
+    graph-local indices; the reverse direction is applied inside the layer
+    as a transposed contraction, halving host->device bytes;
+  * aggregation becomes batched one-hot matmuls (models/rgcn.py
+    rgcn_dense_apply): gather = src_onehot @ x, scatter = dst_onehotT @ msg
+    — 100% MXU, no serial addressing, forward and backward.
+
+Cost model: dense does O(B * E * n) extra MAC work vs the flat layout's
+O(E) addressing — on the MXU that trade wins by >30x (bench.py r5_dense).
+Power-law graph sizes are handled by SIZE BUCKETING (plan_dense_buckets):
+graphs are grouped into a few (n, E) slot shapes so one outlier does not
+inflate every slot. Mean/sum aggregation is node-order and batch-composition
+invariant, so bucketed batches change only SGD batch composition (the same
+effect as any shuffle), not the model math.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..graphs.extract import Subgraph
+
+
+@dataclass
+class DenseBatch:
+    """B graphs in fixed node slots. Targets: user=row 0, item=row 1."""
+
+    node_label: np.ndarray   # int32 [B, n]  hop/side label per node row
+    edge_src: np.ndarray     # int32 [B, E]  forward-edge user row (graph-local)
+    edge_dst: np.ndarray     # int32 [B, E]  forward-edge item row (graph-local)
+    edge_type: np.ndarray    # int32 [B, E]  rating label per forward edge
+    node_mask: np.ndarray    # bool  [B, n]
+    edge_mask: np.ndarray    # bool  [B, E]
+    y: np.ndarray            # float32 [B] regression target
+    graph_mask: np.ndarray   # bool  [B]
+    u_feat: Optional[np.ndarray] = None  # float32 [B, du]
+    v_feat: Optional[np.ndarray] = None  # float32 [B, dv]
+    # Pytree AUX: leading-axis interpretation, as in GraphBatch.stacked.
+    stacked: Optional[str] = None
+
+    @property
+    def num_graphs(self) -> int:
+        return self.y.shape[0]
+
+    @property
+    def node_slot(self) -> int:
+        return self.node_label.shape[-1]
+
+    @property
+    def edge_slot(self) -> int:
+        return self.edge_src.shape[-1]
+
+    def shape_key(self) -> Tuple[int, int, int]:
+        return (self.num_graphs, self.node_slot, self.edge_slot)
+
+
+def _register_pytree():
+    import jax
+
+    fields = [
+        "node_label", "edge_src", "edge_dst", "edge_type",
+        "node_mask", "edge_mask", "y", "graph_mask", "u_feat", "v_feat",
+    ]
+    jax.tree_util.register_pytree_node(
+        DenseBatch,
+        lambda b: ([getattr(b, f) for f in fields], b.stacked),
+        lambda aux, xs: DenseBatch(*xs, stacked=aux),
+    )
+
+
+_register_pytree()
+
+
+def slot_perm(num_u: int, num_nodes: int) -> np.ndarray:
+    """Extraction-order -> slot-row permutation.
+
+    Extraction order is [target_user, users..., target_item, items...]
+    (graphs/extract.py Subgraph): target user at 0, target item at num_u.
+    Slot order moves the target item to row 1 so both targets are fixed
+    slices: 0 -> 0, num_u -> 1, other users j -> j+1, other items d -> d.
+    The image is exactly {0..num_nodes-1} (rows stay contiguous).
+    """
+    perm = np.empty(num_nodes, dtype=np.int32)
+    perm[0] = 0
+    perm[1:num_u] = np.arange(1, num_u, dtype=np.int32) + 1
+    perm[num_u] = 1
+    if num_nodes > num_u + 1:
+        perm[num_u + 1:] = np.arange(num_u + 1, num_nodes, dtype=np.int32)
+    return perm
+
+
+def collate_dense(
+    graphs: Sequence[Subgraph],
+    num_graphs: int,
+    node_slot: int,
+    edge_slot: int,
+) -> DenseBatch:
+    """Pack subgraphs one-per-slot. Slots must fit the largest graph."""
+    B, n, E = num_graphs, node_slot, edge_slot
+    n_real = len(graphs)
+    assert n_real <= B
+
+    node_label = np.zeros((B, n), dtype=np.int32)
+    node_mask = np.zeros((B, n), dtype=bool)
+    edge_src = np.zeros((B, E), dtype=np.int32)
+    edge_dst = np.zeros((B, E), dtype=np.int32)
+    edge_type = np.zeros((B, E), dtype=np.int32)
+    edge_mask = np.zeros((B, E), dtype=bool)
+    y = np.zeros(B, dtype=np.float32)
+    graph_mask = np.zeros(B, dtype=bool)
+
+    has_side = graphs and graphs[0].u_feat is not None
+    u_feat = v_feat = None
+    if has_side:
+        u_feat = np.zeros((B, graphs[0].u_feat.shape[0]), dtype=np.float32)
+        v_feat = np.zeros((B, graphs[0].v_feat.shape[0]), dtype=np.float32)
+
+    for gi, g in enumerate(graphs):
+        nn, ne = g.num_nodes, len(g.src)
+        if nn > n or ne > E:
+            raise ValueError(
+                f"graph ({nn} nodes, {ne} fwd edges) exceeds dense slot "
+                f"({n}, {E})")
+        perm = slot_perm(g.num_u, nn)
+        node_label[gi, perm] = g.node_label
+        node_mask[gi, :nn] = True
+        edge_src[gi, :ne] = perm[g.src]
+        edge_dst[gi, :ne] = perm[g.dst]
+        edge_type[gi, :ne] = g.etype
+        edge_mask[gi, :ne] = True
+        y[gi] = g.y
+        graph_mask[gi] = True
+        if has_side:
+            u_feat[gi] = g.u_feat
+            v_feat[gi] = g.v_feat
+
+    return DenseBatch(
+        node_label=node_label, edge_src=edge_src, edge_dst=edge_dst,
+        edge_type=edge_type, node_mask=node_mask, edge_mask=edge_mask,
+        y=y, graph_mask=graph_mask, u_feat=u_feat, v_feat=v_feat,
+    )
+
+
+def _round8(v: int) -> int:
+    return int(-(-max(int(v), 8) // 8) * 8)
+
+
+@dataclass(frozen=True)
+class DenseBucket:
+    """One compiled slot shape plus the dataset indices assigned to it."""
+
+    node_slot: int
+    edge_slot: int
+    indices: np.ndarray  # int64 dataset indices whose graphs fit this slot
+
+
+def plan_dense_buckets(
+    node_counts,
+    fwd_edge_counts,
+    max_buckets: int = 3,
+    breaks: Sequence[float] = (0.6, 0.9, 1.0),
+) -> List[DenseBucket]:
+    """Partition graphs into <= max_buckets (node, edge) slot shapes.
+
+    Graphs are sorted by (node count, fwd-edge count) and split at the given
+    fractions of the sorted order; each bucket's slots are the maxima within
+    it (so every member fits), rounded up to multiples of 8 for TPU tiling.
+    Degenerate/duplicate buckets are merged. Compilation count is bounded by
+    the number of distinct slot shapes.
+    """
+    nc = np.asarray(node_counts, dtype=np.int64)
+    ec = np.asarray(fwd_edge_counts, dtype=np.int64)
+    order = np.lexsort((ec, nc))
+    n = len(order)
+    breaks = sorted(set(breaks))[: max_buckets]
+    if not breaks or breaks[-1] < 1.0:
+        breaks = list(breaks) + [1.0]
+    buckets: List[DenseBucket] = []
+    start = 0
+    for frac in breaks:
+        stop = max(start + 1, int(round(frac * n))) if n else 0
+        stop = min(stop, n)
+        if stop <= start:
+            continue
+        idx = order[start:stop]
+        ns = _round8(nc[idx].max())
+        es = _round8(ec[idx].max())
+        if buckets and (ns, es) == (buckets[-1].node_slot,
+                                    buckets[-1].edge_slot):
+            merged = np.concatenate([buckets[-1].indices, idx])
+            buckets[-1] = DenseBucket(ns, es, merged)
+        else:
+            buckets.append(DenseBucket(ns, es, idx))
+        start = stop
+    return buckets

@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from ..batching.batch import GraphBatch
-from ..ops.dropout import edge_dropout, feature_dropout
+from ..batching.dense import DenseBatch
+from ..ops.dropout import edge_dropout, edge_dropout_dense, feature_dropout
 from ..ops.segment import masked_segment_sum
 from ..ops.sort_pool import global_sort_pool
 from .rgcn import (
@@ -89,7 +90,13 @@ def igmc_forward(params, batch: GraphBatch, cfg: IGMCConfig,
     fused Pallas kernel instead of the XLA strategy (measured full-model
     comparison: kernels/README.md). The aligned mask is fixed host-side,
     so edge dropout is unsupported on this path.
+
+    Accepts either batch layout: a flat GraphBatch (disjoint edge list,
+    segment aggregation) or a DenseBatch (per-graph node slots, batched
+    one-hot matmul aggregation — the fast TPU path, batching/dense.py).
     """
+    if isinstance(batch, DenseBatch):
+        return _igmc_forward_dense(params, batch, cfg, key, training)
     N = batch.node_label.shape[0]
     x = jax.nn.one_hot(batch.node_label, cfg.num_features, dtype=jnp.float32)
     x = x * batch.node_mask[:, None].astype(jnp.float32)
@@ -139,6 +146,47 @@ def igmc_forward(params, batch: GraphBatch, cfg: IGMCConfig,
     h = jnp.concatenate([h_u, h_v], axis=1)  # [B, 2*sum]
     if cfg.side_features:
         h = jnp.concatenate([h, batch.u_feat, batch.v_feat], axis=1)
+
+    h = jax.nn.relu(linear_apply(params["lin1"], h))
+    if training:
+        key, k_drop = jax.random.split(key)
+        h = feature_dropout(k_drop, h, 0.5, training)
+    out = linear_apply(params["lin2"], h)[:, 0]
+    return out * cfg.multiply_by
+
+
+def _igmc_forward_dense(params, batch: DenseBatch, cfg: IGMCConfig,
+                        key=None, training: bool = False):
+    """IGMC forward over the dense-blocked layout: [B, n, C] node states,
+    rgcn_dense_apply trunk (all-MXU aggregation), target readout as the
+    fixed slices rows 0/1 (batching/dense.py invariant). Same math as the
+    flat path to float tolerance (tests/test_dense.py)."""
+    from .rgcn import rgcn_dense_apply
+
+    x = jax.nn.one_hot(batch.node_label, cfg.num_features, dtype=jnp.float32)
+    x = x * batch.node_mask[..., None].astype(jnp.float32)
+
+    mask_f = mask_r = batch.edge_mask
+    if training and cfg.adj_dropout > 0:
+        key, k_edge = jax.random.split(key)
+        mask_f, mask_r = edge_dropout_dense(
+            k_edge, batch.edge_mask, cfg.adj_dropout, cfg.force_undirected,
+            training)
+
+    cd = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
+    states = []
+    for conv_params in params["convs"]:
+        x = jnp.tanh(
+            rgcn_dense_apply(conv_params, x, batch.edge_src, batch.edge_dst,
+                             batch.edge_type, mask_f, mask_r, cfg.aggr, cd)
+        )
+        states.append(x)
+    concat_states = jnp.concatenate(states, axis=-1)  # [B, n, sum(latent)]
+
+    h = jnp.concatenate(
+        [concat_states[:, 0, :], concat_states[:, 1, :]], axis=-1)
+    if cfg.side_features:
+        h = jnp.concatenate([h, batch.u_feat, batch.v_feat], axis=-1)
 
     h = jax.nn.relu(linear_apply(params["lin1"], h))
     if training:

@@ -129,6 +129,78 @@ def rgcn_apply(params, x, edge_src, edge_dst, edge_type, edge_mask,
     return out
 
 
+def rgcn_dense_apply(params, x, edge_src, edge_dst, edge_type,
+                     mask_f, mask_r, aggr: str = "mean", compute_dtype=None):
+    """Relational graph convolution over DENSE-BLOCKED batches (batching/
+    dense.py): x is [B, n, C], edges are FORWARD-only [B, E] graph-local
+    indices, and messages flow in both directions (the reverse direction is
+    the transposed contraction of the same stored edges).
+
+    Same math as rgcn_apply, different execution: the per-edge gather and
+    the segment scatter both become batched one-hot matmuls —
+
+        gather:  xs  = src_onehot @ x                       [B,E,n]@[B,n,C]
+        mix:     t   = (att[type] * mask) outer xs          [B,E,nb*C]
+        scatter: z   = dst_onehotT @ t                      [B,n,E]@[B,E,nb*C]
+        project: agg = z @ basis.reshape(nb*C, out)
+
+    — every FLOP lands on the MXU; there is no serial row addressing in the
+    forward OR the backward (the transpose of a matmul is a matmul). This is
+    ~30x faster end-to-end than the flat segment formulation on v5e at IGMC
+    shapes (bench.py), at the cost of O(B*E*n) extra MAC work that the MXU
+    absorbs.
+
+    `mask_f` / `mask_r`: float/bool [B, E] keep-masks per direction (edge
+    dropout may differ between directions unless force_undirected).
+    """
+    B, n, Cin = x.shape
+    nb, _, Cout = params["basis"].shape
+    R = params["att"].shape[0]
+    cd = compute_dtype or jnp.float32
+
+    mf = mask_f.astype(cd)
+    mr = mask_r.astype(cd)
+    src_oh = jax.nn.one_hot(edge_src, n, dtype=cd)   # [B, E, n]
+    dst_oh = jax.nn.one_hot(edge_dst, n, dtype=cd)
+    rel_oh = jax.nn.one_hot(edge_type, R, dtype=cd)  # [B, E, R]
+    att_e = rel_oh @ params["att"].astype(cd)        # [B, E, nb] (MXU gather)
+
+    xc = x.astype(cd)
+    xs = jnp.einsum("ben,bnc->bec", src_oh, xc)      # x[src] via matmul
+    xd = jnp.einsum("ben,bnc->bec", dst_oh, xc)
+
+    if aggr == "relmean":
+        # Schlichtkrull 1/c_{i,r}: fold the per-(dst, relation) inverse
+        # count into the per-edge attention coefficients, per direction.
+        cnt = (jnp.einsum("be,bei,ber->bir", mf, dst_oh, rel_oh)
+               + jnp.einsum("be,bei,ber->bir", mr, src_oh, rel_oh))
+        cinv = 1.0 / jnp.maximum(cnt, 1.0)
+        coef_f = jnp.einsum("bei,ber,bir->be", dst_oh, rel_oh, cinv)
+        coef_r = jnp.einsum("bei,ber,bir->be", src_oh, rel_oh, cinv)
+        af = att_e * (mf * coef_f)[..., None]
+        ar = att_e * (mr * coef_r)[..., None]
+    else:
+        af = att_e * mf[..., None]
+        ar = att_e * mr[..., None]
+
+    # t[b,e,(k,c)] = af[b,e,k] * xs[b,e,c]; z = dst_ohT @ t  (and reverse)
+    tf = jnp.einsum("bek,bec->bekc", af, xs).reshape(B, -1, nb * Cin)
+    tr = jnp.einsum("bek,bec->bekc", ar, xd).reshape(B, -1, nb * Cin)
+    z = (jnp.einsum("bei,bem->bim", dst_oh, tf,
+                    preferred_element_type=jnp.float32)
+         + jnp.einsum("bei,bem->bim", src_oh, tr,
+                      preferred_element_type=jnp.float32))  # [B, n, nb*Cin]
+    agg = (z @ params["basis"].reshape(nb * Cin, Cout)).astype(jnp.float32)
+
+    if aggr == "mean":
+        deg = (jnp.einsum("be,bei->bi", mf, dst_oh)
+               + jnp.einsum("be,bei->bi", mr, src_oh)).astype(jnp.float32)
+        agg = agg / jnp.maximum(deg, 1.0)[..., None]
+    elif aggr not in ("sum", "relmean"):
+        raise ValueError(f"unknown aggr {aggr}")
+    return agg + x @ params["root"] + params["bias"]
+
+
 # ---------------------------------------------------------------------------
 # Plain GCN conv (for the GNN / DGCNN variants, /root/reference/models.py:13-120)
 # ---------------------------------------------------------------------------

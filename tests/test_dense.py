@@ -1,0 +1,205 @@
+"""Dense-blocked layout (batching/dense.py, rgcn_dense_apply): parity with
+the flat segment path on identical graphs — forward, gradients, every aggr,
+side features, bucketing invariants, and dropout mask semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from igmc_tpu.batching.batch import collate
+from igmc_tpu.batching.dense import (
+    DenseBatch, collate_dense, plan_dense_buckets, slot_perm,
+)
+from igmc_tpu.graphs.extract import Subgraph
+from igmc_tpu.models import IGMCConfig, igmc_forward, igmc_init
+
+
+def random_subgraph(rng, num_u=None, num_v=None, num_relations=5, side=None):
+    num_u = num_u or int(rng.integers(1, 9))
+    num_v = num_v or int(rng.integers(1, 9))
+    n_pairs = num_u * num_v
+    ne = int(rng.integers(1, n_pairs + 1))
+    pairs = rng.choice(n_pairs, size=ne, replace=False)
+    src = (pairs // num_v).astype(np.int32)
+    dst = (pairs % num_v).astype(np.int32) + num_u
+    labels = np.minimum(
+        rng.integers(0, 4, size=num_u + num_v) * 2
+        + (np.arange(num_u + num_v) >= num_u), 7).astype(np.int32)
+    labels[0], labels[num_u] = 0, 1
+    return Subgraph(
+        src=src, dst=dst,
+        etype=rng.integers(0, num_relations, size=ne).astype(np.int32),
+        node_label=labels, num_u=num_u, num_v=num_v,
+        y=float(rng.uniform(0.5, 5.0)),
+        u_feat=(rng.standard_normal(side).astype(np.float32)
+                if side else None),
+        v_feat=(rng.standard_normal(side).astype(np.float32)
+                if side else None),
+    )
+
+
+def make_pair(rng, n_graphs=6, num_relations=5, side=None):
+    """The same graphs collated both ways."""
+    graphs = [random_subgraph(rng, num_relations=num_relations, side=side)
+              for _ in range(n_graphs)]
+    tn = sum(g.num_nodes for g in graphs)
+    te = sum(g.num_edges for g in graphs)
+    flat = collate(graphs, n_graphs + 1, tn + 8, te + 16)
+    ns = max(g.num_nodes for g in graphs) + 3
+    es = max(len(g.src) for g in graphs) + 5
+    dense = collate_dense(graphs, n_graphs + 1, ns, es)
+    return graphs, flat, dense
+
+
+def test_collate_dense_layout():
+    rng = np.random.default_rng(0)
+    graphs, _, dense = make_pair(rng)
+    for gi, g in enumerate(graphs):
+        nn, ne = g.num_nodes, len(g.src)
+        assert dense.node_mask[gi, :nn].all()
+        assert not dense.node_mask[gi, nn:].any()
+        assert dense.edge_mask[gi, :ne].all()
+        assert not dense.edge_mask[gi, ne:].any()
+        # targets at rows 0/1 carry the target labels (0 = user, 1 = item)
+        assert dense.node_label[gi, 0] == 0
+        assert dense.node_label[gi, 1] == 1
+        # label multiset preserved by the slot permutation
+        assert (sorted(dense.node_label[gi, :nn].tolist())
+                == sorted(g.node_label.tolist()))
+        # every edge connects a user-labeled row to an item-labeled row
+        lab = dense.node_label[gi]
+        assert (lab[dense.edge_src[gi, :ne]] % 2 == 0).all()
+        assert (lab[dense.edge_dst[gi, :ne]] % 2 == 1).all()
+    assert not dense.graph_mask[len(graphs):].any()
+
+
+@pytest.mark.parametrize("aggr", ["mean", "sum", "relmean"])
+def test_dense_forward_matches_flat(aggr):
+    rng = np.random.default_rng(1)
+    _, flat, dense = make_pair(rng, n_graphs=7)
+    cfg = IGMCConfig(num_relations=5, num_bases=4, aggr=aggr, adj_dropout=0.0)
+    params = igmc_init(jax.random.PRNGKey(0), cfg)
+    out_flat = igmc_forward(params, flat, cfg, training=False)
+    out_dense = igmc_forward(params, dense, cfg, training=False)
+    B = len(_)
+    np.testing.assert_allclose(np.asarray(out_flat)[:B],
+                               np.asarray(out_dense)[:B],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_dense_forward_many_relations():
+    """R=71 (yahoo_music shape) through the dense path."""
+    rng = np.random.default_rng(2)
+    graphs, flat, dense = make_pair(rng, num_relations=71)
+    cfg = IGMCConfig(num_relations=71, num_bases=4, adj_dropout=0.0)
+    params = igmc_init(jax.random.PRNGKey(1), cfg)
+    B = len(graphs)  # padded graph slots legitimately differ between layouts
+    np.testing.assert_allclose(
+        np.asarray(igmc_forward(params, flat, cfg, training=False))[:B],
+        np.asarray(igmc_forward(params, dense, cfg, training=False))[:B],
+        rtol=2e-5, atol=2e-5)
+
+
+def test_dense_side_features():
+    rng = np.random.default_rng(3)
+    graphs, flat, dense = make_pair(rng, side=6)
+    cfg = IGMCConfig(num_relations=5, side_features=True, n_side_features=12,
+                     adj_dropout=0.0)
+    params = igmc_init(jax.random.PRNGKey(2), cfg)
+    B = len(graphs)
+    np.testing.assert_allclose(
+        np.asarray(igmc_forward(params, flat, cfg, training=False))[:B],
+        np.asarray(igmc_forward(params, dense, cfg, training=False))[:B],
+        rtol=2e-5, atol=2e-5)
+
+
+def test_dense_grads_match_flat():
+    rng = np.random.default_rng(4)
+    _, flat, dense = make_pair(rng)
+    cfg = IGMCConfig(num_relations=5, adj_dropout=0.0)
+    params = igmc_init(jax.random.PRNGKey(3), cfg)
+
+    def loss(p, b):
+        preds = igmc_forward(p, b, cfg, training=False)
+        g = b.graph_mask.astype(jnp.float32)
+        return jnp.sum(((preds - b.y) ** 2) * g) / jnp.maximum(g.sum(), 1.0)
+
+    gf = jax.grad(loss)(params, flat)
+    gd = jax.grad(loss)(params, dense)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gd)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_dense_bf16_close_to_f32():
+    rng = np.random.default_rng(5)
+    _, _, dense = make_pair(rng)
+    cfg32 = IGMCConfig(num_relations=5, adj_dropout=0.0)
+    cfg16 = IGMCConfig(num_relations=5, adj_dropout=0.0,
+                       compute_dtype="bfloat16")
+    params = igmc_init(jax.random.PRNGKey(4), cfg32)
+    o32 = np.asarray(igmc_forward(params, dense, cfg32, training=False))
+    o16 = np.asarray(igmc_forward(params, dense, cfg16, training=False))
+    np.testing.assert_allclose(o32, o16, rtol=0.05, atol=0.05)
+
+
+def test_dense_dropout_force_undirected_ties_directions():
+    from igmc_tpu.ops.dropout import edge_dropout_dense
+
+    mask = jnp.ones((4, 64), dtype=bool)
+    mf, mr = edge_dropout_dense(jax.random.PRNGKey(0), mask, 0.5, True)
+    np.testing.assert_array_equal(np.asarray(mf), np.asarray(mr))
+    rate = 1.0 - np.asarray(mf).mean()
+    assert 0.3 < rate < 0.7
+    mf2, mr2 = edge_dropout_dense(jax.random.PRNGKey(0), mask, 0.5, False)
+    assert (np.asarray(mf2) != np.asarray(mr2)).any()
+    # eval / p=0: no-op
+    mf3, mr3 = edge_dropout_dense(jax.random.PRNGKey(0), mask, 0.5, True,
+                                  training=False)
+    assert np.asarray(mf3).all() and np.asarray(mr3).all()
+
+
+def test_dense_dropout_trains():
+    """Training mode with adj_dropout runs and stays finite (both
+    force_undirected settings) — dropout is fully supported on the dense
+    path, unlike the Pallas-aligned one."""
+    rng = np.random.default_rng(6)
+    _, _, dense = make_pair(rng)
+    for fu in (False, True):
+        cfg = IGMCConfig(num_relations=5, adj_dropout=0.3,
+                         force_undirected=fu)
+        params = igmc_init(jax.random.PRNGKey(5), cfg)
+        out = igmc_forward(params, dense, cfg, key=jax.random.PRNGKey(9),
+                           training=True)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+def test_plan_dense_buckets_partitions_and_fits():
+    rng = np.random.default_rng(7)
+    nc = rng.pareto(2.0, size=500) * 30 + 2
+    ec = nc * rng.uniform(0.5, 3.0, size=500)
+    nc, ec = nc.astype(np.int64), ec.astype(np.int64)
+    buckets = plan_dense_buckets(nc, ec, max_buckets=3)
+    assert 1 <= len(buckets) <= 3
+    seen = np.concatenate([b.indices for b in buckets])
+    assert sorted(seen.tolist()) == list(range(500))
+    for b in buckets:
+        assert (nc[b.indices] <= b.node_slot).all()
+        assert (ec[b.indices] <= b.edge_slot).all()
+        assert b.node_slot % 8 == 0 and b.edge_slot % 8 == 0
+    # bucketing should beat one-size-fits-all on padded node-area
+    one = max(nc) * len(nc)
+    bucketed = sum(b.node_slot * len(b.indices) for b in buckets)
+    assert bucketed < one
+
+
+def test_dense_batch_is_pytree():
+    rng = np.random.default_rng(8)
+    _, _, dense = make_pair(rng)
+    leaves, treedef = jax.tree_util.tree_flatten(dense)
+    rebuilt = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert isinstance(rebuilt, DenseBatch)
+    stacked = jax.tree_util.tree_map(lambda a: np.stack([a, a]), dense)
+    assert stacked.node_label.ndim == 3
