@@ -152,6 +152,57 @@ def assemble_batch(dd: DeviceDataset, gids) -> GraphBatch:
     )
 
 
+def assemble_dense(dd: DeviceDataset, gids, node_slot: int,
+                   edge_slot: int) -> "DenseBatch":
+    """Build one DenseBatch (batching/dense.py) on device from graph ids
+    [B]: each graph lands in a fixed `node_slot`-row block with the target
+    user at row 0 and the target item at row 1 (slot_perm semantics,
+    computed here with jnp.where instead of a host permutation). Per
+    dispatch only the id vector crosses host->device; the row gathers from
+    the packed tables happen ONCE per batch (not per layer)."""
+    from .dense import DenseBatch
+
+    B = gids.shape[0]
+    n, E = node_slot, edge_slot
+
+    gmask = gids >= 0
+    g = jnp.where(gmask, gids, 0)
+    nu = dd.num_u[g][:, None]                              # [B, 1]
+    counts_n = ((dd.node_off[g + 1] - dd.node_off[g]) * gmask)[:, None]
+    counts_e = ((dd.edge_off[g + 1] - dd.edge_off[g]) * gmask)[:, None]
+
+    # nodes: slot row r -> packed-local index (inverse of dense.slot_perm)
+    r = jnp.arange(n, dtype=jnp.int32)[None, :]            # [1, n]
+    packed_local = jnp.where(
+        r == 0, 0, jnp.where(r == 1, nu, jnp.where(r <= nu, r - 1, r)))
+    nvalid = (r < counts_n) & gmask[:, None]
+    nidx = dd.node_off[g][:, None] + jnp.where(nvalid, packed_local, 0)
+    node_label = jnp.where(nvalid, dd.node_label[nidx], 0).astype(jnp.int32)
+
+    # forward edges: remap endpoints into slot rows
+    e = jnp.arange(E, dtype=jnp.int32)[None, :]
+    evalid = (e < counts_e) & gmask[:, None]
+    epos = dd.edge_off[g][:, None] + jnp.where(evalid, e, 0)
+    src_p = dd.src[epos]                                   # user-local
+    dst_p = dd.dst[epos]                                   # num_u + item-local
+    edge_src = jnp.where(evalid, jnp.where(src_p == 0, 0, src_p + 1), 0)
+    edge_dst = jnp.where(evalid, jnp.where(dst_p == nu, 1, dst_p), 0)
+    edge_type = jnp.where(evalid, dd.etype[epos], 0).astype(jnp.int32)
+
+    y = jnp.where(gmask, dd.y[g], 0.0).astype(jnp.float32)
+    return DenseBatch(
+        node_label=node_label,
+        edge_src=edge_src.astype(jnp.int32),
+        edge_dst=edge_dst.astype(jnp.int32),
+        edge_type=edge_type, node_mask=nvalid, edge_mask=evalid,
+        y=y, graph_mask=gmask,
+        u_feat=(dd.u_feat[g] * gmask[:, None] if dd.u_feat is not None
+                else None),
+        v_feat=(dd.v_feat[g] * gmask[:, None] if dd.v_feat is not None
+                else None),
+    )
+
+
 def capacity_bound(node_counts, edge_counts, batch_size: int):
     """Static pads valid for EVERY possible batch of `batch_size` graphs
     (topk_sum_bound rounded up to 8 / 16). Safe under any epoch shuffle."""

@@ -111,6 +111,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--superbatch", type=int, default=8,
                    help="stack this many equal-shape batches into one "
                         "lax.scan dispatch (single-device; 0 disables)")
+    p.add_argument("--batch-mode", default="auto",
+                   choices=["auto", "flat", "dense"],
+                   help="graph batch layout: 'flat' = disjoint edge list + "
+                        "segment aggregation; 'dense' = per-graph node "
+                        "slots + all-MXU matmul aggregation (~10-25x "
+                        "faster per step on TPU, batching/dense.py). "
+                        "auto: dense for static igmc runs on one device")
     return p
 
 
@@ -325,6 +332,15 @@ def main(argv=None):
                          train_multiple_epochs)
 
     logger = make_logger(res, args.save_interval)
+    batch_mode = args.batch_mode
+    if batch_mode == "auto":
+        # Dense needs packed (static) datasets, a single device, and the
+        # igmc model (GNN/DGCNN trunks aggregate over the flat layout).
+        static = not (args.dynamic_train or args.dynamic_test
+                      or args.dynamic_val)
+        batch_mode = ("dense" if args.model == "igmc" and static
+                      and args.n_devices <= 1 else "flat")
+        print(f"batch mode: {batch_mode} (auto)")
     mesh = None
     if args.n_devices > 1:
         from ..parallel import make_mesh
@@ -345,6 +361,7 @@ def main(argv=None):
             res_dir=res.path, seed=args.seed,
             profile_dir=args.profile_dir or None,
             superbatch=args.superbatch, mesh=mesh,
+            batch_mode=batch_mode,
         )
 
     ckpt_dir = args.transfer if args.transfer else res.path
@@ -358,7 +375,8 @@ def main(argv=None):
                   split.class_values, batch_size=args.batch_size)
         if args.transfer:
             rmse = test_once(test_graphs, fwd, params, args.batch_size,
-                             params=params_v, logger=logger)
+                             params=params_v, logger=logger,
+                             batch_mode=batch_mode)
             print("Transfer learning rmse is: {:.6f}".format(rmse))
         return
 
@@ -393,12 +411,13 @@ def main(argv=None):
             epoch_info = "ensemble of range({}, {}, {})".format(
                 start_epoch, end_epoch, interval)
         rmse = test_once(test_graphs, fwd, params, args.batch_size,
-                         ensemble=True, checkpoints=checkpoints)
+                         ensemble=True, checkpoints=checkpoints,
+                         batch_mode=batch_mode)
         print("Ensemble test rmse is: {:.6f}".format(rmse))
     elif args.transfer:
         params_t = load_checkpoint(model_pos, params)
         rmse = test_once(test_graphs, fwd, params, args.batch_size,
-                         params=params_t)
+                         params=params_t, batch_mode=batch_mode)
         epoch_info = "transfer {}, epochs {}".format(args.transfer, args.epochs)
         print("Test rmse is: {:.6f}".format(rmse))
     else:

@@ -166,6 +166,141 @@ def make_device_train_step(forward: Callable, optimizer, ARR: float = 0.0,
     return steps
 
 
+def make_dense_device_train_step(forward: Callable, optimizer,
+                                 node_slot: int, edge_slot: int,
+                                 ARR: float = 0.0,
+                                 with_arr_params: bool = True):
+    """Device-resident scan step over the DENSE layout: each iteration
+    assembles a DenseBatch in its (node_slot, edge_slot) bucket shape on
+    device and runs one optimizer step. One instance per bucket shape
+    (compilation count = number of dense buckets, typically <= 3)."""
+    from ..batching.device_data import assemble_dense
+
+    loss_fn = _make_loss_fn(forward, ARR, with_arr_params)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def steps(params, opt_state, dd, gid_block, key, step0):
+        K = gid_block.shape[0]
+
+        def body(carry, xs):
+            params, opt_state = carry
+            gids, k_idx = xs
+            batch = assemble_dense(dd, gids, node_slot, edge_slot)
+            kk = jax.random.fold_in(key, step0 + k_idx)
+            (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, kk
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, n)
+
+        (params, opt_state), (losses, ns) = jax.lax.scan(
+            body, (params, opt_state), (gid_block, jnp.arange(K))
+        )
+        return params, opt_state, jnp.sum(losses * ns), jnp.sum(ns)
+
+    return steps
+
+
+def make_dense_device_eval_step(forward: Callable, node_slot: int,
+                                edge_slot: int):
+    from ..batching.device_data import assemble_dense
+
+    @jax.jit
+    def steps(params, dd, gid_block):
+        def body(_, gids):
+            batch = assemble_dense(dd, gids, node_slot, edge_slot)
+            preds = forward(params, batch, key=None, training=False)
+            gmask = batch.graph_mask.astype(jnp.float32)
+            sse = jnp.sum(((preds - batch.y) ** 2) * gmask)
+            return None, (sse, gmask.sum(), preds)
+
+        _, (sses, cnts, preds) = jax.lax.scan(body, None, gid_block)
+        return jnp.sum(sses), jnp.sum(cnts), preds
+
+    return steps
+
+
+def plan_dense_epoch(buckets, batch_graphs: int, superbatch: int,
+                     rng: Optional[np.random.Generator] = None):
+    """Work units for one epoch over dense buckets: a list of
+    (bucket_index, [K, B] gid blocks). With an rng, each bucket's graphs
+    are shuffled and the resulting units interleaved (so training doesn't
+    see all small graphs before all large ones); without one, order is
+    deterministic for evaluation."""
+    B = batch_graphs
+    units = []
+    for bi, bucket in enumerate(buckets):
+        order = bucket.indices
+        if rng is not None:
+            order = rng.permutation(order)
+        blocks = []
+        for s in range(0, len(order), B):
+            blk = order[s : s + B].astype(np.int32)
+            if len(blk) < B:
+                blk = np.concatenate([blk, np.full(B - len(blk), -1,
+                                                   np.int32)])
+            blocks.append(blk)
+        K = superbatch if superbatch > 1 else 1
+        n_super = len(blocks) // K
+        for i in range(n_super):
+            units.append((bi, np.stack(blocks[i * K : (i + 1) * K])))
+        for blk in blocks[n_super * K:]:
+            units.append((bi, blk[None]))
+    if rng is not None and len(units) > 1:
+        units = [units[i] for i in rng.permutation(len(units))]
+    return units
+
+
+def dense_device_train_epoch(step_fns, state: TrainState, dd, buckets, key,
+                             dataset_size: int, batch_graphs: int,
+                             superbatch: int, rng: np.random.Generator):
+    """One epoch over a dense device-resident dataset (per-bucket steps)."""
+    units = plan_dense_epoch(buckets, batch_graphs, superbatch, rng)
+    total = None
+    params, opt_state = state.params, state.opt_state
+    i = 0
+    for bi, blk in units:
+        params, opt_state, contrib, _ = step_fns[bi](
+            params, opt_state, dd, jnp.asarray(blk), key,
+            jnp.asarray(i, jnp.int32))
+        i += blk.shape[0]
+        total = contrib if total is None else total + contrib
+    state.params, state.opt_state = params, opt_state
+    if total is None:
+        return 0.0
+    return float(total) / max(dataset_size, 1)
+
+
+def dense_device_eval_rmse(eval_fns, params, dd, buckets,
+                           batch_graphs: int, superbatch: int = 8) -> float:
+    units = plan_dense_epoch(buckets, batch_graphs, superbatch)
+    sse = cnt = None
+    for bi, blk in units:
+        s, c, _ = eval_fns[bi](params, dd, jnp.asarray(blk))
+        sse = s if sse is None else sse + s
+        cnt = c if cnt is None else cnt + c
+    if sse is None:
+        return 0.0
+    return math.sqrt(float(sse) / max(float(cnt), 1.0))
+
+
+def dense_predict_all(eval_fns, params, dd, buckets, batch_graphs: int,
+                      num_graphs: int, superbatch: int = 8):
+    """Raw predictions + targets in DATASET order from the dense device
+    path (for ensembling): scatter each block's predictions back through
+    its gid block."""
+    units = plan_dense_epoch(buckets, batch_graphs, superbatch)
+    raw = [(blk, eval_fns[bi](params, dd, jnp.asarray(blk))[2])
+           for bi, blk in units]
+    preds = np.full(num_graphs, np.nan, np.float32)
+    for blk, p in raw:
+        p = np.asarray(jax.device_get(p)).reshape(-1)
+        flat = blk.reshape(-1)
+        preds[flat[flat >= 0]] = p[flat >= 0]
+    return preds
+
+
 def make_device_eval_step(forward: Callable):
     from ..batching.device_data import assemble_batch
 
@@ -354,6 +489,7 @@ def train_multiple_epochs(
     profile_dir: Optional[str] = None,
     superbatch: int = 8,
     mesh=None,
+    batch_mode: str = "flat",
 ):
     """Full training run; returns the final test RMSE.
 
@@ -364,6 +500,13 @@ def train_multiple_epochs(
     `mesh` switches to data-parallel training: the loader splits each global
     batch into one equal sub-batch per device (stacked on a leading axis
     sharded over 'data'); GSPMD inserts the gradient psum.
+
+    `batch_mode` 'dense' trains on the dense-blocked layout
+    (batching/dense.py): device-resident packed graphs, per-bucket slot
+    shapes, all-MXU aggregation — ~10-25x faster per step than the flat
+    segment path on TPU (bench.py). Requires static (packed) datasets and a
+    single device; the math is identical to float tolerance
+    (tests/test_dense.py).
     """
     optimizer = make_optimizer(lr, weight_decay)
     params = init_params
@@ -384,11 +527,43 @@ def train_multiple_epochs(
 
     sb = superbatch if (sharding is None and mesh is None) else 0
 
+    # Dense-blocked fast path (batch_mode='dense'): device-resident packed
+    # graphs assembled into per-bucket [B, n] slot batches on device.
+    dense = False
+    if batch_mode == "dense":
+        if mesh is not None or sharding is not None:
+            raise ValueError("batch_mode='dense' is single-device; use the "
+                             "flat layout for mesh/DP runs")
+        if not (hasattr(train_dataset, "packed")
+                and hasattr(test_dataset, "packed")):
+            raise ValueError("batch_mode='dense' needs static (packed) "
+                             "datasets")
+        from ..batching.dense import plan_dense_buckets
+        from ..batching.device_data import DeviceDataset
+
+        dense = True
+        dd_train = DeviceDataset(train_dataset.packed, 8, 16, batch_size)
+        dd_test = DeviceDataset(test_dataset.packed, 8, 16, batch_size)
+        tr_buckets = plan_dense_buckets(
+            train_dataset.node_counts(), train_dataset.edge_counts() // 2)
+        te_buckets = plan_dense_buckets(
+            test_dataset.node_counts(), test_dataset.edge_counts() // 2)
+        dense_steps = [
+            make_dense_device_train_step(forward, optimizer, b.node_slot,
+                                         b.edge_slot, ARR)
+            for b in tr_buckets
+        ]
+        dense_evals = [
+            make_dense_device_eval_step(forward, b.node_slot, b.edge_slot)
+            for b in te_buckets
+        ]
+
     # Device-resident fast path: static (packed) datasets on one device keep
     # the whole dataset in HBM and assemble batches on device; per dispatch
     # only a [K, B] graph-id block crosses host->device.
-    dd_train = dd_test = None
-    if mesh is None and sharding is None and sb > 1 \
+    if not dense:
+        dd_train = dd_test = None
+    if not dense and mesh is None and sharding is None and sb > 1 \
             and hasattr(train_dataset, "packed") \
             and hasattr(test_dataset, "packed"):
         from ..batching.device_data import DeviceDataset, capacity_bound
@@ -456,7 +631,14 @@ def train_multiple_epochs(
         profiling = profile_dir and epoch == start_epoch + 1
         if profiling:
             jax.profiler.start_trace(profile_dir)
-        if dd_train is not None:
+        if dense:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([seed, epoch]))
+            train_loss = dense_device_train_epoch(
+                dense_steps, state, dd_train, tr_buckets, epoch_key,
+                len(train_dataset), batch_size, max(sb, 1), rng,
+            )
+        elif dd_train is not None:
             rng = np.random.default_rng(
                 np.random.SeedSequence([seed, epoch]))
             order = rng.permutation(len(train_dataset)).astype(np.int64)
@@ -479,7 +661,11 @@ def train_multiple_epochs(
             jax.profiler.stop_trace()
             print(f"jax.profiler trace of epoch {epoch} written to {profile_dir}")
         if epoch % test_freq == 0:
-            if dd_test is not None:
+            if dense:
+                rmses.append(dense_device_eval_rmse(
+                    dense_evals, state.params, dd_test, te_buckets,
+                    batch_size, max(sb, 1)))
+            elif dd_test is not None:
                 rmses.append(device_eval_rmse(dev_eval_fn, state.params,
                                               dd_test, sb))
             else:
@@ -523,18 +709,47 @@ def test_once(
     ensemble: bool = False,
     checkpoints=None,
     sharding=None,
+    batch_mode: str = "flat",
 ):
     """Evaluate once — single params or a prediction-averaged ensemble."""
-    loader = BatchLoader(test_dataset, batch_size, shuffle=False,
-                         sharding=sharding,
-                         superbatch=8 if sharding is None else 0)
-    eval_fn = make_eval_step(forward)
+    dense = (batch_mode == "dense" and sharding is None
+             and hasattr(test_dataset, "packed"))
+    if dense:
+        from ..batching.dense import plan_dense_buckets
+        from ..batching.device_data import DeviceDataset
+
+        dd = DeviceDataset(test_dataset.packed, 8, 16, batch_size)
+        buckets = plan_dense_buckets(test_dataset.node_counts(),
+                                     test_dataset.edge_counts() // 2)
+        eval_fns = [make_dense_device_eval_step(forward, b.node_slot,
+                                                b.edge_slot)
+                    for b in buckets]
+        ys = np.asarray(test_dataset.packed.y, dtype=np.float32)
+    else:
+        loader = BatchLoader(test_dataset, batch_size, shuffle=False,
+                             sharding=sharding,
+                             superbatch=8 if sharding is None else 0)
+        eval_fn = make_eval_step(forward)
     t_start = time.perf_counter()
     if ensemble and checkpoints:
-        rmse = eval_rmse_ensemble(eval_fn, params_template, checkpoints, loader)
+        if dense:
+            outs = []
+            for ckpt in checkpoints:
+                p = load_checkpoint(ckpt, params_template)
+                outs.append(dense_predict_all(eval_fns, p, dd, buckets,
+                                              batch_size, len(test_dataset)))
+            mean_pred = np.stack(outs, axis=1).mean(axis=1)
+            rmse = math.sqrt(float(np.mean((mean_pred - ys) ** 2)))
+        else:
+            rmse = eval_rmse_ensemble(eval_fn, params_template, checkpoints,
+                                      loader)
     else:
-        rmse = eval_rmse(eval_fn, params if params is not None else params_template,
-                         loader)
+        p = params if params is not None else params_template
+        if dense:
+            rmse = dense_device_eval_rmse(eval_fns, p, dd, buckets,
+                                          batch_size)
+        else:
+            rmse = eval_rmse(eval_fn, p, loader)
     duration = time.perf_counter() - t_start
     print("Test Once RMSE: {:.6f}, Duration: {:.6f}".format(rmse, duration))
     if logger is not None:

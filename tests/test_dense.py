@@ -195,6 +195,60 @@ def test_plan_dense_buckets_partitions_and_fits():
     assert bucketed < one
 
 
+def test_dense_train_end_to_end_golden():
+    """batch_mode='dense' through train_multiple_epochs (device-resident
+    per-bucket scan steps): pinned to a golden RMSE so numerics regressions
+    in the dense assemble/aggregate path move this test."""
+    from test_regression import _toy_dataset
+    from igmc_tpu.train import train_multiple_epochs
+
+    train_ds, _ = _toy_dataset(seed=5, n_links=64)
+    test_ds, _ = _toy_dataset(seed=6, n_links=32)
+    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.2)
+    fwd = lambda p, b, key=None, training=False: igmc_forward(
+        p, b, cfg, key, training)
+    rmse, _ = train_multiple_epochs(
+        train_ds, test_ds, fwd, igmc_init(jax.random.PRNGKey(11), cfg),
+        epochs=6, batch_size=16, lr=1e-2, lr_decay_factor=0.1,
+        lr_decay_step_size=20, ARR=0.001, test_freq=2, seed=11,
+        progress=False, superbatch=4, batch_mode="dense")
+    assert rmse == pytest.approx(1.4593224, abs=1e-3), rmse
+
+
+def test_dense_test_once_matches_train_eval():
+    """test_once(batch_mode='dense') reproduces the in-training dense eval
+    for the same params (exercises assemble_dense + dense eval + the
+    ensemble machinery's predict path)."""
+    from test_regression import _toy_dataset
+    from igmc_tpu.train import test_once
+    from igmc_tpu.train.loop import (
+        dense_device_eval_rmse, make_dense_device_eval_step, dense_predict_all)
+    from igmc_tpu.batching.device_data import DeviceDataset
+    from igmc_tpu.batching.dense import plan_dense_buckets
+
+    test_ds, _ = _toy_dataset(seed=6, n_links=32)
+    cfg = IGMCConfig(num_relations=5, num_bases=4)
+    params = igmc_init(jax.random.PRNGKey(2), cfg)
+    fwd = lambda p, b, key=None, training=False: igmc_forward(
+        p, b, cfg, key, training)
+    rmse_dense = test_once(test_ds, fwd, params, batch_size=16,
+                           batch_mode="dense")
+    rmse_flat = test_once(test_ds, fwd, params, batch_size=16,
+                          batch_mode="flat")
+    assert rmse_dense == pytest.approx(rmse_flat, abs=1e-4)
+    # prediction scatter covers every graph exactly once
+    dd = DeviceDataset(test_ds.packed, 8, 16, 16)
+    buckets = plan_dense_buckets(test_ds.node_counts(),
+                                 test_ds.edge_counts() // 2)
+    fns = [make_dense_device_eval_step(fwd, b.node_slot, b.edge_slot)
+           for b in buckets]
+    preds = dense_predict_all(fns, params, dd, buckets, 16, len(test_ds))
+    assert np.isfinite(preds).all()
+    rmse_scatter = float(np.sqrt(np.mean(
+        (preds - np.asarray(test_ds.packed.y)) ** 2)))
+    assert rmse_scatter == pytest.approx(rmse_flat, abs=1e-4)
+
+
 def test_dense_batch_is_pytree():
     rng = np.random.default_rng(8)
     _, _, dense = make_pair(rng)
