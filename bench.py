@@ -251,6 +251,83 @@ def bench_shape(name: str, num_relations: int, node_pad: int, edge_pad: int,
     return out
 
 
+def bench_dense_shape(name: str, num_relations: int, num_graphs: int,
+                      node_slot: int, edge_slot: int, device,
+                      K: int = 64, calls: int = 4, train: bool = False,
+                      fill_nodes: float = 0.9, fill_edges: float = 0.9) -> dict:
+    """Dense-blocked layout (batching/dense.py): same chained-scan timing
+    discipline as bench_shape. Real edges = 2x masked forward edges (both
+    directions are aggregated by rgcn_dense_apply)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_dense_batch
+    from igmc_tpu.models import IGMCConfig, igmc_init
+    from igmc_tpu.train.loop import make_optimizer, make_train_step
+
+    cfg = IGMCConfig(num_relations=num_relations, num_bases=4,
+                     adj_dropout=0.0)
+    params = jax.device_put(igmc_init(jax.random.PRNGKey(0), cfg))
+    batch = _synthetic_dense_batch(
+        num_graphs=num_graphs, node_slot=node_slot, edge_slot=edge_slot,
+        num_relations=num_relations, fill_nodes=fill_nodes,
+        fill_edges=fill_edges)
+    n_real = 2 * int(np.asarray(batch.edge_mask).sum())
+    batch = jax.device_put(batch)
+
+    chained = make_chained_forward(cfg, K)
+    dt = time_chained(chained, params, batch, K, calls)
+    layers = len(cfg.latent_dim)
+    out = {
+        f"{name}_forward_ms": round(dt * 1e3, 4),
+        f"{name}_real_edges_per_sec": round(layers * n_real / dt, 1),
+        f"{name}_real_edges": n_real,
+        f"{name}_graphs_per_sec": round(num_graphs / dt, 1),
+    }
+
+    if train:
+        from igmc_tpu.models import igmc_forward
+
+        fwd = lambda p, b, key=None, training=False: igmc_forward(
+            p, b, cfg, key, training)
+        opt = make_optimizer(1e-3)
+        step = make_train_step(fwd, opt, ARR=0.001)
+        key = jax.random.PRNGKey(0)
+        K_t = 32
+
+        @jax.jit
+        def scanned(p, s, batch, key):
+            def body(carry, _):
+                p, s = carry
+                p, s, loss, _ = step(p, s, batch, key)
+                return (p, s), loss
+
+            (p, s), losses = jax.lax.scan(body, (p, s), None, length=K_t)
+            return p, s, losses[-1]
+
+        p, s = params, jax.device_put(opt.init(params))
+        p, s, loss = scanned(p, s, batch, key)
+        float(loss)
+        n_calls, best_s = 3, float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_calls):
+                p, s, loss = scanned(p, s, batch, key)
+            float(loss)
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(4 * n_calls):
+                p, s, loss = scanned(p, s, batch, key)
+            float(loss)
+            t_hi = time.perf_counter() - t0
+            best_s = min(best_s, (t_hi - t_lo) / (3 * n_calls * K_t))
+        out[f"{name}_train_step_scanned_ms"] = round(best_s * 1e3, 3)
+        out[f"{name}_train_graphs_per_sec"] = round(num_graphs / best_s, 1)
+        out[f"{name}_train_real_edges_per_sec"] = round(
+            layers * n_real / best_s, 1)
+    return out
+
+
 def main():
     import jax
 
@@ -270,6 +347,19 @@ def main():
     results.update(bench_shape("r71", 71, 8192, 65536, 128, dev, K=32,
                                train=True))
 
+    # --- dense-blocked layout (batching/dense.py), the flagship path ---
+    # r5_dense matches r5's real-edge content (128 graphs, ~59k directed
+    # edges) in per-graph slots; flix_dense / yahoo_dense are the measured
+    # production bucket shapes of those datasets.
+    results.update(bench_dense_shape("r5_dense", 5, 128, 64, 256, dev,
+                                     K=64, train=True))
+    results.update(bench_dense_shape("r71_dense", 71, 128, 64, 256, dev,
+                                     K=64, train=True))
+    results.update(bench_dense_shape("flix_dense", 10, 50, 96, 112, dev,
+                                     K=64, train=True))
+    results.update(bench_dense_shape("yahoo_dense", 71, 64, 288, 384, dev,
+                                     K=32, train=True))
+
     # --- HBM-resident cross-check: same kernel, working set >> 16MB VMEM ---
     hbm = bench_shape("hbm_resident_r5", 5, 262144, 2097152, 4096, dev,
                       K=8, calls=2)
@@ -277,7 +367,16 @@ def main():
 
     results.update(bench_extraction())
 
-    headline = results["r5_real_edges_per_sec"]
+    results["dense_vs_flat_train_speedup_r5"] = round(
+        results["r5_train_step_scanned_ms"]
+        / results["r5_dense_train_step_scanned_ms"], 2)
+    results["dense_vs_flat_train_speedup_r71"] = round(
+        results["r71_train_step_scanned_ms"]
+        / results["r71_dense_train_step_scanned_ms"], 2)
+
+    # Headline: the flagship (dense-blocked) layout's real-edge rate on the
+    # R=5 aggregate, against the HBM-streaming bound for the same content.
+    headline = results["r5_dense_real_edges_per_sec"]
     baseline = hbm_roofline_edges_per_sec(dev, C)
     result = {
         "metric": "rgcn_aggregate_real_edges_per_sec_per_chip",
@@ -287,6 +386,8 @@ def main():
         "detail": {
             "device": str(dev.device_kind),
             "layers": 4, "feature_width": C,
+            "headline_layout": "dense-blocked (batching/dense.py); flat "
+                               "segment-layout numbers alongside (r5_*)",
             "baseline_semantics": (
                 "achieved real-edge rate / HBM-streaming speed-of-light "
                 "for this kernel (gather 4C + scatter 8C + 12 idx bytes "
