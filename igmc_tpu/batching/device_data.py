@@ -32,9 +32,12 @@ class DeviceDataset:
     """The packed subgraph arrays, device-resident, plus static metadata."""
 
     def __init__(self, packed, node_pad: int, edge_pad: int,
-                 batch_graphs: int):
+                 batch_graphs: int, sharding=None):
         """`packed` is a batching.dataset._PackedGraphs; `edge_pad` counts
-        DIRECTED edges (2x stored forward edges), matching the host ladder."""
+        DIRECTED edges (2x stored forward edges), matching the host ladder.
+        `sharding` places the packed tables (e.g. replicated over a DP mesh
+        so sharded-batch gathers stay collective-free); default = the
+        default device."""
         if edge_pad % 2:
             raise ValueError("edge_pad must be even (fwd+rev halves)")
         self.node_pad = int(node_pad)
@@ -42,7 +45,11 @@ class DeviceDataset:
         self.batch_graphs = int(batch_graphs)
         self.num_graphs = len(packed)
 
-        put = jax.device_put
+        if sharding is not None:
+            def put(x):
+                return jax.device_put(x, sharding)
+        else:
+            put = jax.device_put
         self.node_label = put(packed.node_label.astype(np.int32))
         self.src = put(packed.src.astype(np.int32))
         self.dst = put(packed.dst.astype(np.int32))   # already +num_u local

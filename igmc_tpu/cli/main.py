@@ -334,12 +334,15 @@ def main(argv=None):
     logger = make_logger(res, args.save_interval)
     batch_mode = args.batch_mode
     if batch_mode == "auto":
-        # Dense needs packed (static) datasets, a single device, and the
-        # igmc model (GNN/DGCNN trunks aggregate over the flat layout).
+        # Dense needs packed (static) datasets and the igmc model
+        # (GNN/DGCNN trunks aggregate over the flat layout). Multi-device
+        # dense DP additionally needs the batch to split evenly over the
+        # mesh's graph-axis sharding.
         static = not (args.dynamic_train or args.dynamic_test
                       or args.dynamic_val)
-        batch_mode = ("dense" if args.model == "igmc" and static
-                      and args.n_devices <= 1 else "flat")
+        dp_ok = args.n_devices <= 1 or args.batch_size % args.n_devices == 0
+        batch_mode = ("dense" if args.model == "igmc" and static and dp_ok
+                      else "flat")
         print(f"batch mode: {batch_mode} (auto)")
     mesh = None
     if args.n_devices > 1:

@@ -166,19 +166,42 @@ def make_device_train_step(forward: Callable, optimizer, ARR: float = 0.0,
     return steps
 
 
+def _dense_dp_shardings(mesh):
+    """(replicated, [K, B]-block) shardings for dense DP: everything is
+    replicated except the graph axis of the gid block — sharding it over
+    'data' makes GSPMD shard every assembled [B, ...] batch array the same
+    way (gathers from the replicated packed tables stay collective-free)
+    and insert ONE gradient psum for the global-mean loss."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P()), NamedSharding(mesh, P(None, "data"))
+
+
 def make_dense_device_train_step(forward: Callable, optimizer,
                                  node_slot: int, edge_slot: int,
                                  ARR: float = 0.0,
-                                 with_arr_params: bool = True):
+                                 with_arr_params: bool = True,
+                                 mesh=None):
     """Device-resident scan step over the DENSE layout: each iteration
     assembles a DenseBatch in its (node_slot, edge_slot) bucket shape on
     device and runs one optimizer step. One instance per bucket shape
-    (compilation count = number of dense buckets, typically <= 3)."""
+    (compilation count = number of dense buckets, typically <= 3).
+
+    With `mesh`, the same step runs data-parallel: the gid block's graph
+    axis is sharded over 'data' (see _dense_dp_shardings) — the dense
+    layout needs no sub-batch stacking because every batch array already
+    carries the graph axis leading."""
     from ..batching.device_data import assemble_dense
 
     loss_fn = _make_loss_fn(forward, ARR, with_arr_params)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
+    jit_kw = {}
+    if mesh is not None:
+        repl, blk = _dense_dp_shardings(mesh)
+        jit_kw = dict(in_shardings=(repl, repl, repl, blk, repl, repl),
+                      out_shardings=(repl, repl, repl, repl))
+
+    @partial(jax.jit, donate_argnums=(0, 1), **jit_kw)
     def steps(params, opt_state, dd, gid_block, key, step0):
         K = gid_block.shape[0]
 
@@ -203,10 +226,16 @@ def make_dense_device_train_step(forward: Callable, optimizer,
 
 
 def make_dense_device_eval_step(forward: Callable, node_slot: int,
-                                edge_slot: int):
+                                edge_slot: int, mesh=None):
     from ..batching.device_data import assemble_dense
 
-    @jax.jit
+    jit_kw = {}
+    if mesh is not None:
+        repl, blk = _dense_dp_shardings(mesh)
+        jit_kw = dict(in_shardings=(repl, repl, blk),
+                      out_shardings=(repl, repl, repl))
+
+    @partial(jax.jit, **jit_kw)
     def steps(params, dd, gid_block):
         def body(_, gids):
             batch = assemble_dense(dd, gids, node_slot, edge_slot)
@@ -503,10 +532,12 @@ def train_multiple_epochs(
 
     `batch_mode` 'dense' trains on the dense-blocked layout
     (batching/dense.py): device-resident packed graphs, per-bucket slot
-    shapes, all-MXU aggregation — ~10-25x faster per step than the flat
-    segment path on TPU (bench.py). Requires static (packed) datasets and a
-    single device; the math is identical to float tolerance
-    (tests/test_dense.py).
+    shapes, all-MXU aggregation — ~19-24x faster per train step than the
+    flat segment path on TPU (bench.py). Requires static (packed)
+    datasets; the math is identical to float tolerance (tests/test_dense.py).
+    With a `mesh`, dense runs data-parallel by sharding the gid block's
+    graph axis over 'data' (packed tables replicated; GSPMD inserts the
+    gradient psum) — batch_size must divide by the mesh size.
     """
     optimizer = make_optimizer(lr, weight_decay)
     params = init_params
@@ -525,36 +556,51 @@ def train_multiple_epochs(
         state.params = params
         state.opt_state = jax.device_put(opt_state, param_shd)
 
-    sb = superbatch if (sharding is None and mesh is None) else 0
+    # Superbatching composes with dense DP (the [K, B] gid block scans the
+    # same under a sharded graph axis); the flat DP path still excludes it.
+    sb = superbatch if (mesh is None and sharding is None) \
+        or (mesh is not None and batch_mode == "dense") else 0
 
     # Dense-blocked fast path (batch_mode='dense'): device-resident packed
     # graphs assembled into per-bucket [B, n] slot batches on device.
     dense = False
     if batch_mode == "dense":
-        if mesh is not None or sharding is not None:
-            raise ValueError("batch_mode='dense' is single-device; use the "
-                             "flat layout for mesh/DP runs")
+        if mesh is None and sharding is not None:
+            raise ValueError("batch_mode='dense' takes a mesh, not a "
+                             "loader sharding")
         if not (hasattr(train_dataset, "packed")
                 and hasattr(test_dataset, "packed")):
             raise ValueError("batch_mode='dense' needs static (packed) "
                              "datasets")
+        if mesh is not None and batch_size % mesh.devices.size:
+            raise ValueError(
+                f"dense DP needs batch_size ({batch_size}) divisible by "
+                f"the mesh size ({mesh.devices.size})")
         from ..batching.dense import plan_dense_buckets
         from ..batching.device_data import DeviceDataset
 
         dense = True
-        dd_train = DeviceDataset(train_dataset.packed, 8, 16, batch_size)
-        dd_test = DeviceDataset(test_dataset.packed, 8, 16, batch_size)
+        dd_shd = None
+        if mesh is not None:
+            # packed tables replicated over the mesh: sharded-gid gathers
+            # then shard every assembled batch without collectives
+            dd_shd = param_shd
+        dd_train = DeviceDataset(train_dataset.packed, 8, 16, batch_size,
+                                 sharding=dd_shd)
+        dd_test = DeviceDataset(test_dataset.packed, 8, 16, batch_size,
+                                sharding=dd_shd)
         tr_buckets = plan_dense_buckets(
             train_dataset.node_counts(), train_dataset.edge_counts() // 2)
         te_buckets = plan_dense_buckets(
             test_dataset.node_counts(), test_dataset.edge_counts() // 2)
         dense_steps = [
             make_dense_device_train_step(forward, optimizer, b.node_slot,
-                                         b.edge_slot, ARR)
+                                         b.edge_slot, ARR, mesh=mesh)
             for b in tr_buckets
         ]
         dense_evals = [
-            make_dense_device_eval_step(forward, b.node_slot, b.edge_slot)
+            make_dense_device_eval_step(forward, b.node_slot, b.edge_slot,
+                                        mesh=mesh)
             for b in te_buckets
         ]
 
@@ -588,7 +634,7 @@ def train_multiple_epochs(
             node_ladder=None, edge_ladder=None, superbatch=sb, n_devices=n_dev,
         )
 
-    if mesh is not None:
+    if mesh is not None and not dense:
         fwd = forward
         step_fn = make_dp_train_step(fwd, optimizer, ARR, mesh, sharding,
                                      param_shd)

@@ -257,3 +257,86 @@ def test_dense_batch_is_pytree():
     assert isinstance(rebuilt, DenseBatch)
     stacked = jax.tree_util.tree_map(lambda a: np.stack([a, a]), dense)
     assert stacked.node_label.ndim == 3
+
+
+def test_dense_dp_step_matches_single_device():
+    """make_dense_device_train_step(mesh=8-cpu) — packed tables replicated,
+    gid-block graph axis sharded over 'data' — produces the same params,
+    loss, and count as the meshless step, including a half-full (-1-padded)
+    block. The only collective is the GSPMD gradient psum, so agreement
+    here is the DP-correctness proof for the flagship dense path."""
+    from test_regression import _toy_dataset
+    from igmc_tpu.batching.dense import plan_dense_buckets
+    from igmc_tpu.batching.device_data import DeviceDataset
+    from igmc_tpu.parallel import make_mesh, replicated_sharding
+    from igmc_tpu.train.loop import (make_dense_device_train_step,
+                                     make_dense_device_eval_step,
+                                     make_optimizer)
+
+    train_ds, _ = _toy_dataset(seed=7, n_links=48)
+    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.2)
+    fwd = lambda p, b, key=None, training=False: igmc_forward(
+        p, b, cfg, key, training)
+    opt = make_optimizer(1e-2)
+    bucket = plan_dense_buckets(train_ds.node_counts(),
+                                train_ds.edge_counts() // 2,
+                                max_buckets=1)[0]
+    B = 16
+    blk = np.full((2, B), -1, np.int32)              # K=2 superbatch
+    blk[0, : B - 3] = np.arange(B - 3)               # half-full block
+    blk[1, :B] = np.arange(B, 2 * B)
+
+    mesh = make_mesh(n_data=8)
+    pshd = replicated_sharding(mesh)
+    results = {}
+    for tag, m, shd in (("single", None, None), ("dp", mesh, pshd)):
+        dd = DeviceDataset(train_ds.packed, 8, 16, B, sharding=shd)
+        step = make_dense_device_train_step(
+            fwd, opt, bucket.node_slot, bucket.edge_slot, ARR=0.001, mesh=m)
+        p = igmc_init(jax.random.PRNGKey(3), cfg)
+        s = opt.init(p)
+        if m is not None:
+            p, s = jax.device_put(p, pshd), jax.device_put(s, pshd)
+        p, s, loss, n = step(p, s, dd, jnp.asarray(blk),
+                             jax.random.PRNGKey(4), jnp.int32(0))
+        ev = make_dense_device_eval_step(fwd, bucket.node_slot,
+                                         bucket.edge_slot, mesh=m)
+        sse, cnt, _ = ev(p, dd, jnp.asarray(blk))
+        results[tag] = (jax.device_get(p), float(loss), float(n),
+                        float(sse), float(cnt))
+
+    p1, l1, n1, sse1, c1 = results["single"]
+    p2, l2, n2, sse2, c2 = results["dp"]
+    assert n1 == n2 == (B - 3) + B and c1 == c2
+    assert l1 == pytest.approx(l2, rel=1e-5)
+    assert sse1 == pytest.approx(sse2, rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_dense_dp_train_end_to_end_matches_single():
+    """train_multiple_epochs(batch_mode='dense', mesh=8-cpu): the full DP
+    training run reproduces the single-device dense run's final RMSE (same
+    seed => same shuffles, same dropout keys; sharding must not change the
+    math)."""
+    from test_regression import _toy_dataset
+    from igmc_tpu.parallel import make_mesh
+    from igmc_tpu.train import train_multiple_epochs
+
+    train_ds, _ = _toy_dataset(seed=5, n_links=64)
+    test_ds, _ = _toy_dataset(seed=6, n_links=32)
+    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.2)
+    fwd = lambda p, b, key=None, training=False: igmc_forward(
+        p, b, cfg, key, training)
+
+    kw = dict(epochs=4, batch_size=16, lr=1e-2, lr_decay_factor=0.1,
+              lr_decay_step_size=20, ARR=0.001, test_freq=2, seed=11,
+              progress=False, superbatch=2, batch_mode="dense")
+    rmse_single, _ = train_multiple_epochs(
+        train_ds, test_ds, fwd, igmc_init(jax.random.PRNGKey(11), cfg), **kw)
+    rmse_dp, _ = train_multiple_epochs(
+        train_ds, test_ds, fwd, igmc_init(jax.random.PRNGKey(11), cfg),
+        mesh=make_mesh(n_data=8), **kw)
+    assert rmse_dp == pytest.approx(rmse_single, abs=1e-4)
