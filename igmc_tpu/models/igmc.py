@@ -54,6 +54,14 @@ class IGMCConfig:
     n_side_features: int = 0
     multiply_by: float = 1.0
     conv_strategy: str = "auto"            # rgcn compute strategy
+    # Dense-layout aggregation strategy: 'edge' = per-edge one-hot matmuls
+    # (rgcn_dense_apply), 'adjacency' = per-relation [B,R,n,n] adjacency
+    # built once per forward and shared by all layers (rgcn_dense_adj_apply;
+    # fewer MACs on paper but MEASURED 2.4-5x slower on v5e at every IGMC
+    # shape — the [B,R,n,n] tensors are HBM-bound while XLA keeps the edge
+    # path's [B,E,*] intermediates fused on-chip). 'auto' therefore = edge.
+    dense_strategy: str = "auto"
+    dense_adj_max_bytes: int = 128 * 1024 * 1024
     aggr: str = "mean"                     # rgcn aggregation (mean/sum/relmean)
     compute_dtype: Optional[str] = None    # e.g. "bfloat16" for the trunk
     use_pallas: bool = False               # fused Pallas aggregate (see kernels/)
@@ -161,7 +169,8 @@ def _igmc_forward_dense(params, batch: DenseBatch, cfg: IGMCConfig,
     rgcn_dense_apply trunk (all-MXU aggregation), target readout as the
     fixed slices rows 0/1 (batching/dense.py invariant). Same math as the
     flat path to float tolerance (tests/test_dense.py)."""
-    from .rgcn import rgcn_dense_apply
+    from .rgcn import (build_dense_adj, dense_adj_degrees, rgcn_dense_apply,
+                       rgcn_dense_adj_apply)
 
     x = jax.nn.one_hot(batch.node_label, cfg.num_features, dtype=jnp.float32)
     x = x * batch.node_mask[..., None].astype(jnp.float32)
@@ -174,12 +183,35 @@ def _igmc_forward_dense(params, batch: DenseBatch, cfg: IGMCConfig,
             training)
 
     cd = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
+    B, n = batch.node_label.shape
+    # 'auto' resolves to the edge formulation: measured 2.4-5x faster than
+    # 'adjacency' on v5e at r5/flixster/r71/yahoo shapes (2026-08-17; see
+    # IGMCConfig.dense_strategy). The adjacency path stays available for
+    # explicit study and for shapes where E/n grows far beyond IGMC's.
+    use_adj = cfg.dense_strategy == "adjacency"
+    if use_adj:
+        # A is layer- and width-independent: one O(E)-cost build feeds all
+        # layers (rgcn.build_dense_adj). Masks tied across directions
+        # (no dropout, or force_undirected) share one adjacency.
+        adj_f = build_dense_adj(batch.edge_src, batch.edge_dst,
+                                batch.edge_type, mask_f,
+                                cfg.num_relations, n, cd)
+        adj_r = None if mask_r is mask_f else build_dense_adj(
+            batch.edge_src, batch.edge_dst, batch.edge_type, mask_r,
+            cfg.num_relations, n, cd)
+        inv_deg = (dense_adj_degrees(adj_f, adj_r)
+                   if cfg.aggr == "mean" else None)
+
     states = []
     for conv_params in params["convs"]:
-        x = jnp.tanh(
-            rgcn_dense_apply(conv_params, x, batch.edge_src, batch.edge_dst,
-                             batch.edge_type, mask_f, mask_r, cfg.aggr, cd)
-        )
+        if use_adj:
+            h = rgcn_dense_adj_apply(conv_params, x, adj_f, adj_r,
+                                     cfg.aggr, cd, inv_deg)
+        else:
+            h = rgcn_dense_apply(conv_params, x, batch.edge_src,
+                                 batch.edge_dst, batch.edge_type,
+                                 mask_f, mask_r, cfg.aggr, cd)
+        x = jnp.tanh(h)
         states.append(x)
     concat_states = jnp.concatenate(states, axis=-1)  # [B, n, sum(latent)]
 

@@ -201,6 +201,88 @@ def rgcn_dense_apply(params, x, edge_src, edge_dst, edge_type,
     return agg + x @ params["root"] + params["bias"]
 
 
+def build_dense_adj(edge_src, edge_dst, edge_type, mask, num_relations: int,
+                    node_slot: int, compute_dtype=None):
+    """Per-relation dense adjacency A[b, r, i, j] = Σ_e mask·1[type_e=r,
+    dst_e=i, src_e=j] for a dense-blocked batch ([B, E] forward edges).
+
+    A is independent of the layer parameters AND the feature width, so one
+    build (≈ the MAC cost of a single edge-formulation layer) is shared by
+    every R-GCN layer of the forward — the basis of the `adjacency`
+    strategy of rgcn_dense_adj_apply. Built as one-hot matmuls (no
+    scatter): the (relation, dst) pair indexes a combined one-hot.
+    """
+    B, E = edge_src.shape
+    cd = compute_dtype or jnp.float32
+    comb = jax.nn.one_hot(edge_type * node_slot + edge_dst,
+                          num_relations * node_slot, dtype=cd)   # [B,E,R·n]
+    comb = comb * mask.astype(cd)[..., None]
+    src_oh = jax.nn.one_hot(edge_src, node_slot, dtype=cd)       # [B,E,n]
+    A = jnp.einsum("bem,bej->bmj", comb, src_oh,
+                   preferred_element_type=jnp.float32)
+    return A.reshape(B, num_relations, node_slot, node_slot).astype(cd)
+
+
+def rgcn_dense_adj_apply(params, x, adj_f, adj_r=None, aggr: str = "mean",
+                         compute_dtype=None, inv_deg=None):
+    """R-GCN layer over a dense-blocked batch via PRECOMPUTED per-relation
+    adjacencies (build_dense_adj) — same math as rgcn_dense_apply, ~4x
+    fewer MACs per layer at IGMC shapes ON PAPER; measured 2.4-5x SLOWER
+    on v5e (2026-08-17, scripts note in IGMCConfig.dense_strategy): the
+    [B, R, n, n] adjacency round-trips HBM every layer while XLA keeps
+    the edge path's [B, E, *] chain fused in VMEM. Kept as an explicitly
+    selectable strategy (IGMCConfig.dense_strategy='adjacency') because
+    the trade flips when E/n^2 density grows well past IGMC's subgraphs.
+
+    Per layer the relation axis is folded with the basis attention first,
+        W[b, k, i, j] = Σ_r att[r, k] · A[b, r, i, j]      (R·nb·n² MACs)
+    then both directions are plain batched matmuls with x,
+        zf[b,i] = Σ_j W[b,:,i,j] x[b,j]   (forward: dst i ← src j)
+        zr[b,i] = Σ_j W[b,:,j,i] x[b,j]   (reverse edges)
+    and the basis projection closes it. Cost per layer ≈ nb·n²·(R + 2C)
+    MACs vs the edge formulation's ≈ 2·E·n·(C + nb·C) — ~4x fewer at
+    (n=64, E=256, C=32, nb=4) — while the O(E)-sized build is paid once
+    per FORWARD, not per layer.
+
+    `adj_r`: separate reverse-direction adjacency when edge-dropout masks
+    are NOT tied across directions (force_undirected=False); None means
+    reuse `adj_f`. `inv_deg` [B, n]: precomputed 1/max(deg,1) for
+    aggr='mean' (layer-independent, so the caller computes it once);
+    required iff aggr='mean'.
+    """
+    B, n, Cin = x.shape
+    nb, _, Cout = params["basis"].shape
+    cd = compute_dtype or jnp.float32
+
+    att = params["att"].astype(cd)                       # [R, nb]
+    Wf = jnp.einsum("rk,brij->bkij", att, adj_f.astype(cd))
+    Wr = Wf if adj_r is None else jnp.einsum("rk,brij->bkij", att,
+                                             adj_r.astype(cd))
+    xc = x.astype(cd)
+    zf = jnp.einsum("bkij,bjc->bikc", Wf, xc)
+    zr = jnp.einsum("bkji,bjc->bikc", Wr, xc)
+    z = (zf + zr).reshape(B, n, nb * Cin)
+    agg = jnp.einsum("bim,mo->bio", z,
+                     params["basis"].reshape(nb * Cin, Cout).astype(cd),
+                     preferred_element_type=jnp.float32).astype(jnp.float32)
+
+    if aggr == "mean":
+        agg = agg * inv_deg[..., None]
+    elif aggr != "sum":
+        raise ValueError(f"adjacency strategy supports mean/sum, not {aggr}")
+    return agg + x @ params["root"] + params["bias"]
+
+
+def dense_adj_degrees(adj_f, adj_r=None):
+    """Incoming-edge count per node row from the precomputed adjacencies
+    (forward edges land on dst=i via adj_f[..., i, :]; reverse on src=i
+    via adj_r[..., :, i]) — the aggr='mean' denominator, shared by every
+    layer."""
+    ar = adj_f if adj_r is None else adj_r
+    deg = adj_f.sum(axis=(1, 3)) + ar.sum(axis=(1, 2))
+    return 1.0 / jnp.maximum(deg.astype(jnp.float32), 1.0)
+
+
 # ---------------------------------------------------------------------------
 # Plain GCN conv (for the GNN / DGCNN variants, /root/reference/models.py:13-120)
 # ---------------------------------------------------------------------------

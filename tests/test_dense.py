@@ -340,3 +340,64 @@ def test_dense_dp_train_end_to_end_matches_single():
         train_ds, test_ds, fwd, igmc_init(jax.random.PRNGKey(11), cfg),
         mesh=make_mesh(n_data=8), **kw)
     assert rmse_dp == pytest.approx(rmse_single, abs=1e-4)
+
+
+def test_dense_adjacency_strategy_matches_edge():
+    """rgcn dense 'adjacency' strategy (per-relation [B,R,n,n] built once
+    per forward) vs the 'edge' per-edge one-hot formulation: identical
+    forward and gradients for mean and sum, with and without (untied)
+    edge dropout; 'auto' falls back to edge when the adjacency would
+    exceed dense_adj_max_bytes."""
+    rng = np.random.default_rng(21)
+    _, _, dense = make_pair(rng, n_graphs=5)
+
+    for aggr in ("mean", "sum"):
+        cfgs = [IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0,
+                           aggr=aggr, dense_strategy=s)
+                for s in ("edge", "adjacency")]
+        params = igmc_init(jax.random.PRNGKey(0), cfgs[0])
+        oe = igmc_forward(params, dense, cfgs[0], key=None, training=False)
+        oa = igmc_forward(params, dense, cfgs[1], key=None, training=False)
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(oe),
+                                   rtol=1e-5, atol=1e-5)
+        ge, ga = [
+            jax.grad(lambda p: jnp.sum(
+                igmc_forward(p, dense, c, key=None, training=False) ** 2))(
+                    params)
+            for c in cfgs
+        ]
+        for a, b in zip(jax.tree_util.tree_leaves(ge),
+                        jax.tree_util.tree_leaves(ga)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-4, atol=1e-5)
+
+    # training with UNTIED per-direction dropout masks (adj_r path): same
+    # key => same masks => the strategies must still agree exactly
+    for fu in (False, True):
+        cfg_e, cfg_a = [
+            IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.4,
+                       force_undirected=fu, dense_strategy=s)
+            for s in ("edge", "adjacency")
+        ]
+        params = igmc_init(jax.random.PRNGKey(1), cfg_e)
+        k = jax.random.PRNGKey(7)
+        oe = igmc_forward(params, dense, cfg_e, key=k, training=True)
+        oa = igmc_forward(params, dense, cfg_a, key=k, training=True)
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(oe),
+                                   rtol=1e-5, atol=1e-5)
+
+    # auto memory gate: a 1-byte cap must fall back to the edge path (and
+    # still be correct); relmean never takes the adjacency path
+    cfg_gate = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0,
+                          dense_strategy="auto", dense_adj_max_bytes=1)
+    cfg_edge = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0,
+                          dense_strategy="edge")
+    params = igmc_init(jax.random.PRNGKey(2), cfg_gate)
+    np.testing.assert_allclose(
+        np.asarray(igmc_forward(params, dense, cfg_gate, key=None)),
+        np.asarray(igmc_forward(params, dense, cfg_edge, key=None)),
+        rtol=1e-6)
+    cfg_rm = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0,
+                        aggr="relmean", dense_strategy="auto")
+    out = igmc_forward(params, dense, cfg_rm, key=None)  # edge fallback
+    assert np.isfinite(np.asarray(out)).all()
