@@ -219,8 +219,13 @@ def capacity_bound(node_counts, edge_counts, batch_size: int):
 
 
 def plan_gid_epoch(dd: DeviceDataset, order: np.ndarray, superbatch: int):
-    """Split a permutation of graph ids into [K, B] superbatch id blocks and
-    a remainder list of [B] blocks, padding short batches with -1."""
+    """Split a permutation of graph ids into [K, B] superbatch id blocks,
+    padding short batches with -1. The trailing blocks that don't fill a
+    whole [K, B] group are stacked into ONE final [r, B] block (r < K) —
+    one extra compiled shape per (B, K) instead of r single dispatches,
+    which matters when per-dispatch latency dominates (tunneled devices).
+    Returns (supers, rest) where rest is always [] (kept for callers that
+    append `rest` blocks as [1, B] units)."""
     B = dd.batch_graphs
     n = len(order)
     blocks = []
@@ -232,5 +237,7 @@ def plan_gid_epoch(dd: DeviceDataset, order: np.ndarray, superbatch: int):
     K = superbatch if superbatch > 1 else 1
     n_super = len(blocks) // K
     supers = [np.stack(blocks[i * K : (i + 1) * K]) for i in range(n_super)]
-    rest = blocks[n_super * K :]
-    return supers, rest
+    rem = blocks[n_super * K :]
+    if rem:
+        supers.append(np.stack(rem))
+    return supers, []

@@ -137,13 +137,18 @@ def make_device_train_step(forward: Callable, optimizer, ARR: float = 0.0,
     iteration ASSEMBLES its padded batch on device (batching/device_data.py)
     and runs one optimizer step. Per-dispatch upload = one int32 id block
     (~KBs), the key enabler on remote/tunneled backends whose host->device
-    path is slow or leaky."""
+    path is slow or leaky.
+
+    `loss_acc` is a running sum(loss*n) scalar threaded (donated) through
+    the epoch's dispatches so the epoch loop never issues eager device ops
+    or per-step host syncs — on a tunneled backend each of those costs
+    ~50-65 ms, 10-30x the whole epoch's compute."""
     from ..batching.device_data import assemble_batch
 
     loss_fn = _make_loss_fn(forward, ARR, with_arr_params)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def steps(params, opt_state, dd, gid_block, key, step0):
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def steps(params, opt_state, loss_acc, dd, gid_block, key, step0):
         K = gid_block.shape[0]
 
         def body(carry, xs):
@@ -161,7 +166,8 @@ def make_device_train_step(forward: Callable, optimizer, ARR: float = 0.0,
         (params, opt_state), (losses, ns) = jax.lax.scan(
             body, (params, opt_state), (gid_block, jnp.arange(K))
         )
-        return params, opt_state, jnp.sum(losses * ns), jnp.sum(ns)
+        return (params, opt_state, loss_acc + jnp.sum(losses * ns),
+                jnp.sum(ns))
 
     return steps
 
@@ -198,11 +204,14 @@ def make_dense_device_train_step(forward: Callable, optimizer,
     jit_kw = {}
     if mesh is not None:
         repl, blk = _dense_dp_shardings(mesh)
-        jit_kw = dict(in_shardings=(repl, repl, repl, blk, repl, repl),
+        jit_kw = dict(in_shardings=(repl, repl, repl, repl, blk, repl, repl),
                       out_shardings=(repl, repl, repl, repl))
 
-    @partial(jax.jit, donate_argnums=(0, 1), **jit_kw)
-    def steps(params, opt_state, dd, gid_block, key, step0):
+    # loss_acc: running sum(loss*n), threaded (donated) through the epoch so
+    # the epoch loop never issues eager device ops or per-step host syncs
+    # (each costs ~50-65 ms on a tunneled backend; see device_train_epoch).
+    @partial(jax.jit, donate_argnums=(0, 1, 2), **jit_kw)
+    def steps(params, opt_state, loss_acc, dd, gid_block, key, step0):
         K = gid_block.shape[0]
 
         def body(carry, xs):
@@ -220,23 +229,27 @@ def make_dense_device_train_step(forward: Callable, optimizer,
         (params, opt_state), (losses, ns) = jax.lax.scan(
             body, (params, opt_state), (gid_block, jnp.arange(K))
         )
-        return params, opt_state, jnp.sum(losses * ns), jnp.sum(ns)
+        return (params, opt_state, loss_acc + jnp.sum(losses * ns),
+                jnp.sum(ns))
 
     return steps
 
 
 def make_dense_device_eval_step(forward: Callable, node_slot: int,
                                 edge_slot: int, mesh=None):
+    """`acc` is a running (sse, cnt) pair threaded (donated) through the
+    eval dispatches — same eager-op-free epoch discipline as the train
+    steps. Returns ((sse, cnt), preds)."""
     from ..batching.device_data import assemble_dense
 
     jit_kw = {}
     if mesh is not None:
         repl, blk = _dense_dp_shardings(mesh)
-        jit_kw = dict(in_shardings=(repl, repl, blk),
-                      out_shardings=(repl, repl, repl))
+        jit_kw = dict(in_shardings=(repl, (repl, repl), repl, blk),
+                      out_shardings=((repl, repl), repl))
 
-    @partial(jax.jit, **jit_kw)
-    def steps(params, dd, gid_block):
+    @partial(jax.jit, donate_argnums=(1,), **jit_kw)
+    def steps(params, acc, dd, gid_block):
         def body(_, gids):
             batch = assemble_dense(dd, gids, node_slot, edge_slot)
             preds = forward(params, batch, key=None, training=False)
@@ -245,7 +258,7 @@ def make_dense_device_eval_step(forward: Callable, node_slot: int,
             return None, (sse, gmask.sum(), preds)
 
         _, (sses, cnts, preds) = jax.lax.scan(body, None, gid_block)
-        return jnp.sum(sses), jnp.sum(cnts), preds
+        return (acc[0] + jnp.sum(sses), acc[1] + jnp.sum(cnts)), preds
 
     return steps
 
@@ -274,8 +287,13 @@ def plan_dense_epoch(buckets, batch_graphs: int, superbatch: int,
         n_super = len(blocks) // K
         for i in range(n_super):
             units.append((bi, np.stack(blocks[i * K : (i + 1) * K])))
-        for blk in blocks[n_super * K:]:
-            units.append((bi, blk[None]))
+        rem = blocks[n_super * K:]
+        if rem:
+            # One stacked [len(rem), B] unit instead of len(rem) single
+            # dispatches: the per-dispatch latency (≈4 ms through a
+            # tunneled device) dominates these tiny steps, and the [r, B]
+            # shape is fixed per (bucket, K) so it compiles once.
+            units.append((bi, np.stack(rem)))
     if rng is not None and len(units) > 1:
         units = [units[i] for i in rng.permutation(len(units))]
     return units
@@ -284,33 +302,47 @@ def plan_dense_epoch(buckets, batch_graphs: int, superbatch: int,
 def dense_device_train_epoch(step_fns, state: TrainState, dd, buckets, key,
                              dataset_size: int, batch_graphs: int,
                              superbatch: int, rng: np.random.Generator):
-    """One epoch over a dense device-resident dataset (per-bucket steps)."""
+    """One epoch over a dense device-resident dataset (per-bucket steps).
+
+    Returns the DEVICE scalar sum(loss*n) over the epoch (None if empty) —
+    the caller normalizes and fetches it when it actually needs the float,
+    ideally batched with the eval sums in one device_get. No eager device
+    ops or host syncs happen here (each costs ~50-65 ms on a tunneled
+    backend vs ~8 ms for a whole flixster epoch of compute)."""
     units = plan_dense_epoch(buckets, batch_graphs, superbatch, rng)
-    total = None
     params, opt_state = state.params, state.opt_state
+    total = np.zeros((), np.float32)
     i = 0
     for bi, blk in units:
-        params, opt_state, contrib, _ = step_fns[bi](
-            params, opt_state, dd, jnp.asarray(blk), key,
+        params, opt_state, total, _ = step_fns[bi](
+            params, opt_state, total, dd, jnp.asarray(blk), key,
             jnp.asarray(i, jnp.int32))
         i += blk.shape[0]
-        total = contrib if total is None else total + contrib
     state.params, state.opt_state = params, opt_state
-    if total is None:
-        return 0.0
-    return float(total) / max(dataset_size, 1)
+    if i == 0:
+        return None
+    return total
+
+
+def _dense_device_eval_sums(eval_fns, params, dd, buckets,
+                            batch_graphs: int, superbatch: int = 8):
+    """(sse, cnt) DEVICE scalars over the whole test set — no host syncs."""
+    units = plan_dense_epoch(buckets, batch_graphs, superbatch)
+    acc = (np.zeros((), np.float32), np.zeros((), np.float32))
+    for bi, blk in units:
+        acc, _ = eval_fns[bi](params, acc, dd, jnp.asarray(blk))
+    if not units:
+        return None
+    return acc
 
 
 def dense_device_eval_rmse(eval_fns, params, dd, buckets,
                            batch_graphs: int, superbatch: int = 8) -> float:
-    units = plan_dense_epoch(buckets, batch_graphs, superbatch)
-    sse = cnt = None
-    for bi, blk in units:
-        s, c, _ = eval_fns[bi](params, dd, jnp.asarray(blk))
-        sse = s if sse is None else sse + s
-        cnt = c if cnt is None else cnt + c
-    if sse is None:
+    acc = _dense_device_eval_sums(eval_fns, params, dd, buckets,
+                                  batch_graphs, superbatch)
+    if acc is None:
         return 0.0
+    sse, cnt = jax.device_get(acc)
     return math.sqrt(float(sse) / max(float(cnt), 1.0))
 
 
@@ -318,23 +350,28 @@ def dense_predict_all(eval_fns, params, dd, buckets, batch_graphs: int,
                       num_graphs: int, superbatch: int = 8):
     """Raw predictions + targets in DATASET order from the dense device
     path (for ensembling): scatter each block's predictions back through
-    its gid block."""
+    its gid block. All blocks' predictions are fetched in ONE device_get."""
     units = plan_dense_epoch(buckets, batch_graphs, superbatch)
-    raw = [(blk, eval_fns[bi](params, dd, jnp.asarray(blk))[2])
+    zero = (np.zeros((), np.float32), np.zeros((), np.float32))
+    raw = [(blk, eval_fns[bi](params, zero, dd, jnp.asarray(blk))[1])
            for bi, blk in units]
+    fetched = jax.device_get([p for _, p in raw])
     preds = np.full(num_graphs, np.nan, np.float32)
-    for blk, p in raw:
-        p = np.asarray(jax.device_get(p)).reshape(-1)
+    for (blk, _), p in zip(raw, fetched):
+        p = np.asarray(p).reshape(-1)
         flat = blk.reshape(-1)
         preds[flat[flat >= 0]] = p[flat >= 0]
     return preds
 
 
 def make_device_eval_step(forward: Callable):
+    """`acc` is a running (sse, cnt) pair threaded (donated) through the
+    eval dispatches (see make_device_train_step). Returns ((sse, cnt),
+    preds)."""
     from ..batching.device_data import assemble_batch
 
-    @jax.jit
-    def steps(params, dd, gid_block):
+    @partial(jax.jit, donate_argnums=(1,))
+    def steps(params, acc, dd, gid_block):
         def body(_, gids):
             batch = assemble_batch(dd, gids)
             preds = forward(params, batch, key=None, training=False)
@@ -343,7 +380,7 @@ def make_device_eval_step(forward: Callable):
             return None, (sse, gmask.sum(), preds)
 
         _, (sses, cnts, preds) = jax.lax.scan(body, None, gid_block)
-        return jnp.sum(sses), jnp.sum(cnts), preds
+        return (acc[0] + jnp.sum(sses), acc[1] + jnp.sum(cnts)), preds
 
     return steps
 
@@ -417,37 +454,46 @@ def train_epoch(step_fn, state: TrainState, loader: BatchLoader, key,
 def device_train_epoch(dev_step, state: TrainState, dd, order, key,
                        dataset_size: int, superbatch: int):
     """One epoch over a device-resident dataset: per dispatch, upload one
-    [K, B] graph-id block; everything else happens on device."""
+    [K, B] graph-id block; everything else happens on device. Returns the
+    DEVICE scalar sum(loss*n) (None if empty) — see
+    dense_device_train_epoch for why nothing syncs here."""
     from ..batching.device_data import plan_gid_epoch
 
     supers, rest = plan_gid_epoch(dd, order, superbatch)
-    total = None
     params, opt_state = state.params, state.opt_state
+    total = np.zeros((), np.float32)
     i = 0
     for blk in supers + [r[None] for r in rest]:
-        params, opt_state, contrib, _ = dev_step(
-            params, opt_state, dd, jnp.asarray(blk),
+        params, opt_state, total, _ = dev_step(
+            params, opt_state, total, dd, jnp.asarray(blk),
             key, jnp.asarray(i, jnp.int32))
         i += blk.shape[0]
-        total = contrib if total is None else total + contrib
     state.params, state.opt_state = params, opt_state
-    if total is None:
-        return 0.0
-    return float(total) / max(dataset_size, 1)
+    if i == 0:
+        return None
+    return total
 
 
-def device_eval_rmse(dev_eval, params, dd, superbatch: int = 8) -> float:
+def _device_eval_sums(dev_eval, params, dd, superbatch: int = 8):
+    """(sse, cnt) DEVICE scalars over the whole dataset — no host syncs."""
     from ..batching.device_data import plan_gid_epoch
 
     order = np.arange(len(dd), dtype=np.int64)
     supers, rest = plan_gid_epoch(dd, order, superbatch)
-    sse = cnt = None
-    for blk in supers + [r[None] for r in rest]:
-        s, c, _ = dev_eval(params, dd, jnp.asarray(blk))
-        sse = s if sse is None else sse + s
-        cnt = c if cnt is None else cnt + c
-    if sse is None:
+    blocks = supers + [r[None] for r in rest]
+    acc = (np.zeros((), np.float32), np.zeros((), np.float32))
+    for blk in blocks:
+        acc, _ = dev_eval(params, acc, dd, jnp.asarray(blk))
+    if not blocks:
+        return None
+    return acc
+
+
+def device_eval_rmse(dev_eval, params, dd, superbatch: int = 8) -> float:
+    acc = _device_eval_sums(dev_eval, params, dd, superbatch)
+    if acc is None:
         return 0.0
+    sse, cnt = jax.device_get(acc)
     return math.sqrt(float(sse) / max(float(cnt), 1.0))
 
 
@@ -677,10 +723,11 @@ def train_multiple_epochs(
         profiling = profile_dir and epoch == start_epoch + 1
         if profiling:
             jax.profiler.start_trace(profile_dir)
+        device_resident = dense or dd_train is not None
         if dense:
             rng = np.random.default_rng(
                 np.random.SeedSequence([seed, epoch]))
-            train_loss = dense_device_train_epoch(
+            loss_dev = dense_device_train_epoch(
                 dense_steps, state, dd_train, tr_buckets, epoch_key,
                 len(train_dataset), batch_size, max(sb, 1), rng,
             )
@@ -688,7 +735,7 @@ def train_multiple_epochs(
             rng = np.random.default_rng(
                 np.random.SeedSequence([seed, epoch]))
             order = rng.permutation(len(train_dataset)).astype(np.int64)
-            train_loss = device_train_epoch(
+            loss_dev = device_train_epoch(
                 dev_step_fn, state, dd_train, order, epoch_key,
                 len(train_dataset), sb,
             )
@@ -706,16 +753,32 @@ def train_multiple_epochs(
         if profiling:
             jax.profiler.stop_trace()
             print(f"jax.profiler trace of epoch {epoch} written to {profile_dir}")
-        if epoch % test_freq == 0:
-            if dense:
-                rmses.append(dense_device_eval_rmse(
-                    dense_evals, state.params, dd_test, te_buckets,
-                    batch_size, max(sb, 1)))
-            elif dd_test is not None:
-                rmses.append(device_eval_rmse(dev_eval_fn, state.params,
-                                              dd_test, sb))
+        if device_resident:
+            # Enqueue the eval BEFORE fetching the train loss, then fetch
+            # the epoch's scalars in ONE device_get — a tunneled backend
+            # charges ~60 ms per host sync, so per-epoch sync count is the
+            # metric that matters here, not FLOPs.
+            eval_acc = None
+            if epoch % test_freq == 0:
+                if dense:
+                    eval_acc = _dense_device_eval_sums(
+                        dense_evals, state.params, dd_test, te_buckets,
+                        batch_size, max(sb, 1))
+                else:
+                    eval_acc = _device_eval_sums(dev_eval_fn, state.params,
+                                                 dd_test, sb)
+            fetched = jax.device_get((loss_dev, eval_acc))
+            train_loss = (float(fetched[0]) / max(len(train_dataset), 1)
+                          if fetched[0] is not None else 0.0)
+            if eval_acc is not None:
+                sse, cnt = fetched[1]
+                rmses.append(math.sqrt(float(sse) / max(float(cnt), 1.0)))
+            elif epoch % test_freq == 0:
+                rmses.append(0.0)
             else:
-                rmses.append(eval_rmse(eval_fn, state.params, test_loader))
+                rmses.append(float("nan"))
+        elif epoch % test_freq == 0:
+            rmses.append(eval_rmse(eval_fn, state.params, test_loader))
         else:
             rmses.append(float("nan"))
         state.epoch = epoch

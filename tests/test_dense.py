@@ -212,7 +212,11 @@ def test_dense_train_end_to_end_golden():
         epochs=6, batch_size=16, lr=1e-2, lr_decay_factor=0.1,
         lr_decay_step_size=20, ARR=0.001, test_freq=2, seed=11,
         progress=False, superbatch=4, batch_mode="dense")
-    assert rmse == pytest.approx(1.4593224, abs=1e-3), rmse
+    # Re-pinned when plan_dense_epoch started stacking remainder blocks
+    # into one [r, B] unit (changes the epoch's unit permutation and
+    # dropout key indices, i.e. training order — not the math; the dense
+    # vs flat step-parity tests pin the math).
+    assert rmse == pytest.approx(1.7266978, abs=1e-3), rmse
 
 
 def test_dense_test_once_matches_train_eval():
@@ -297,11 +301,13 @@ def test_dense_dp_step_matches_single_device():
         s = opt.init(p)
         if m is not None:
             p, s = jax.device_put(p, pshd), jax.device_put(s, pshd)
-        p, s, loss, n = step(p, s, dd, jnp.asarray(blk),
-                             jax.random.PRNGKey(4), jnp.int32(0))
+        p, s, loss, n = step(p, s, np.zeros((), np.float32), dd,
+                             jnp.asarray(blk), jax.random.PRNGKey(4),
+                             jnp.int32(0))
         ev = make_dense_device_eval_step(fwd, bucket.node_slot,
                                          bucket.edge_slot, mesh=m)
-        sse, cnt, _ = ev(p, dd, jnp.asarray(blk))
+        zero = (np.zeros((), np.float32), np.zeros((), np.float32))
+        (sse, cnt), _ = ev(p, zero, dd, jnp.asarray(blk))
         results[tag] = (jax.device_get(p), float(loss), float(n),
                         float(sse), float(cnt))
 

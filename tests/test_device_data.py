@@ -104,7 +104,8 @@ def test_device_training_matches_host_path():
     # device path
     dev_step = make_device_train_step(fwd, opt, ARR=0.001)
     st_d = TrainState(params=copy(params), opt_state=opt.init(copy(params)))
-    loss_d = device_train_epoch(dev_step, st_d, dd, order, key, 24, K)
+    loss_d = float(device_train_epoch(dev_step, st_d, dd, order, key,
+                                      24, K)) / 24
 
     # host superbatch path over the same graph order
     scan = make_scan_train_step(fwd, opt, ARR=0.001)
@@ -131,11 +132,19 @@ def test_plan_gid_epoch_covers_everything():
     dd = DeviceDataset(packed, 512, 4096, 4)
     order = np.random.default_rng(0).permutation(23)
     supers, rest = plan_gid_epoch(dd, order, 2)
+    assert rest == []
     seen = []
-    for blk in supers:
+    for blk in supers[:-1]:
         assert blk.shape == (2, 4)
         seen += [int(x) for x in blk.ravel() if x >= 0]
-    for blk in rest:
-        assert blk.shape == (4,)
-        seen += [int(x) for x in blk if x >= 0]
+    # 23 graphs / B=4 -> 6 blocks; K=2 -> 3 full supers, no remainder
+    assert supers[-1].shape == (2, 4)
+    seen += [int(x) for x in supers[-1].ravel() if x >= 0]
+    assert sorted(seen) == list(range(23))
+
+    # 23 graphs at B=4, K=4 -> 6 blocks = 1 full super + [2, 4] remainder
+    supers, rest = plan_gid_epoch(dd, order, 4)
+    assert rest == []
+    assert supers[0].shape == (4, 4) and supers[1].shape == (2, 4)
+    seen = [int(x) for blk in supers for x in blk.ravel() if x >= 0]
     assert sorted(seen) == list(range(23))
