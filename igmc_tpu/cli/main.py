@@ -328,7 +328,7 @@ def main(argv=None):
     train_graphs, val_graphs, test_graphs, n_features = build_datasets(args, split)
     fwd, params, cfg = build_model(args, split, n_features, train_graphs)
 
-    from ..train import (checkpoint_path, load_checkpoint, test_once,
+    from ..train import (load_checkpoint, resolve_checkpoint, test_once,
                          train_multiple_epochs)
 
     logger = make_logger(res, args.save_interval)
@@ -367,8 +367,11 @@ def main(argv=None):
             batch_mode=batch_mode,
         )
 
+    # resolve_checkpoint accepts both this framework's .ckpt and the
+    # reference's .pth, so --transfer/--ensemble work directly against a
+    # reference results directory (train/torch_interop.py).
     ckpt_dir = args.transfer if args.transfer else res.path
-    model_pos = checkpoint_path(ckpt_dir, "model", args.epochs)
+    model_pos = resolve_checkpoint(ckpt_dir, "model", args.epochs)
 
     if args.visualize:
         from ..train.visualize import visualize
@@ -390,7 +393,7 @@ def main(argv=None):
         else:
             start_epoch, end_epoch, interval = args.epochs - 30, args.epochs, 10
         checkpoints = [
-            checkpoint_path(ckpt_dir, "model", x)
+            resolve_checkpoint(ckpt_dir, "model", x)
             for x in range(start_epoch, end_epoch + 1, interval)
         ]
         # The reference crashed here when --save-interval skipped epochs in

@@ -20,6 +20,22 @@ def checkpoint_path(res_dir: str, kind: str, epoch) -> str:
     return os.path.join(res_dir, f"{kind}_checkpoint{epoch}.ckpt")
 
 
+def resolve_checkpoint(res_dir: str, kind: str, epoch) -> str:
+    """Path of the checkpoint for (kind, epoch), accepting BOTH formats:
+    this framework's `.ckpt` (msgpack) and the reference's `.pth`
+    (torch state_dict, /root/reference/Main.py:43) — so `--transfer` /
+    `--ensemble` work directly against a reference results directory.
+    Prefers `.ckpt`; returns the (nonexistent) `.ckpt` path if neither
+    exists, so callers' missing-file handling is unchanged."""
+    native = checkpoint_path(res_dir, kind, epoch)
+    if os.path.exists(native):
+        return native
+    pth = os.path.join(res_dir, f"{kind}_checkpoint{epoch}.pth")
+    if os.path.exists(pth):
+        return pth
+    return native
+
+
 def save_checkpoint(path: str, pytree) -> None:
     from flax import serialization
 
@@ -29,6 +45,13 @@ def save_checkpoint(path: str, pytree) -> None:
 
 
 def load_checkpoint(path: str, template):
+    """Load a checkpoint into a pytree shaped like `template`. Dispatches
+    on extension: `.pth` files are reference torch state_dicts (converted
+    via train/torch_interop.py); anything else is native msgpack."""
+    if path.endswith(".pth"):
+        from .torch_interop import load_reference_checkpoint
+
+        return load_reference_checkpoint(path, template)
     from flax import serialization
 
     with open(path, "rb") as f:

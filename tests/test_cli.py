@@ -143,3 +143,39 @@ def test_cli_ml100k_official_split_end_to_end(tmp_path, monkeypatch):
     rmse = float(log[-1].split(" ")[-1])
     assert np.isfinite(rmse) and rmse < 4.0
     assert any("ensemble" in ln for ln in log)
+
+
+@pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+def test_cli_transfer_from_reference_pth_dir(tmp_path, monkeypatch):
+    """--transfer/--ensemble against a results dir holding ONLY reference
+    .pth state_dicts (the reference's checkpoint format, Main.py:43) —
+    the torch_interop + resolve_checkpoint path end-to-end."""
+    from igmc_tpu.cli.main import main
+    from igmc_tpu.models import IGMCConfig, igmc_init
+    from igmc_tpu.train import (load_checkpoint, save_reference_checkpoint)
+    import jax
+
+    monkeypatch.chdir(tmp_path)
+    common = ["--testing", "--debug", "--epochs", "2", "--batch-size", "50",
+              "--save-interval", "1", "--max-train-num", "200",
+              "--max-test-num", "80"]
+    main(["--data-name", "douban"] + common)
+    res = tmp_path / "results" / "douban_testmode"
+
+    # re-export the native checkpoints as a reference-style .pth directory
+    cfg = IGMCConfig(num_relations=5, num_bases=2)
+    template = igmc_init(jax.random.PRNGKey(0), cfg)
+    ref_dir = tmp_path / "reference_results"
+    ref_dir.mkdir()
+    for e in (1, 2):
+        p = load_checkpoint(str(res / f"model_checkpoint{e}.ckpt"), template)
+        save_reference_checkpoint(
+            str(ref_dir / f"model_checkpoint{e}.pth"), p)
+
+    main(["--data-name", "flixster", "--no-train", "--ensemble",
+          "--transfer", str(ref_dir), "--num-relations", "5",
+          "--multiply-by", "1"] + common)
+    tlog = (tmp_path / "results" / "flixster_testmode" / "log.txt").read_text()
+    assert "transfer" in tlog and "ensemble of range(" in tlog
+    rmse = float(tlog.strip().splitlines()[-1].split(" ")[-1])
+    assert np.isfinite(rmse)
