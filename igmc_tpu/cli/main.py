@@ -434,4 +434,15 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    if __package__ in (None, ""):
+        # Direct-script invocation (`python igmc_tpu/cli/main.py`, the
+        # reference's `python Main.py` habit): bootstrap the package so the
+        # relative imports above resolve, then re-enter through it.
+        sys.path.insert(
+            0, os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))))
+        from igmc_tpu.cli.main import main as _main
+
+        _main()
+    else:
+        main()

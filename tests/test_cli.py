@@ -179,3 +179,19 @@ def test_cli_transfer_from_reference_pth_dir(tmp_path, monkeypatch):
     assert "transfer" in tlog and "ensemble of range(" in tlog
     rmse = float(tlog.strip().splitlines()[-1].split(" ")[-1])
     assert np.isfinite(rmse)
+
+
+def test_cli_direct_script_invocation(tmp_path):
+    """`python igmc_tpu/cli/main.py --help` (the reference's `python
+    Main.py` habit) must work despite the package-relative imports — the
+    __main__ bootstrap re-enters through the package."""
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "igmc_tpu", "cli", "main.py")
+    out = subprocess.run([sys.executable, script, "--help"],
+                         cwd=tmp_path, capture_output=True, text=True,
+                         timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "--data-name" in out.stdout
