@@ -220,10 +220,13 @@ def capacity_bound(node_counts, edge_counts, batch_size: int):
 
 def plan_gid_epoch(dd: DeviceDataset, order: np.ndarray, superbatch: int):
     """Split a permutation of graph ids into [K, B] superbatch id blocks,
-    padding short batches with -1. The trailing blocks that don't fill a
-    whole [K, B] group are stacked into ONE final [r, B] block (r < K) —
-    one extra compiled shape per (B, K) instead of r single dispatches,
-    which matters when per-dispatch latency dominates (tunneled devices).
+    padding short batches with -1. Trailing blocks that don't fill a whole
+    [K, B] group are stacked and PADDED with all-(-1) rows to the same
+    [K, B] shape, so each (B, K) compiles exactly ONE program — on a
+    backend with a slow compile service (tunneled TPU) a second compiled
+    shape costs minutes, vs microseconds for the dead scan iterations (the
+    train step selects the pre-update state back for all-(-1) rows; the
+    eval/loss masks already zero them).
     Returns (supers, rest) where rest is always [] (kept for callers that
     append `rest` blocks as [1, B] units)."""
     B = dd.batch_graphs
@@ -239,5 +242,14 @@ def plan_gid_epoch(dd: DeviceDataset, order: np.ndarray, superbatch: int):
     supers = [np.stack(blocks[i * K : (i + 1) * K]) for i in range(n_super)]
     rem = blocks[n_super * K :]
     if rem:
+        rem = rem + [np.full(B, -1, np.int32)] * (K - len(rem))
         supers.append(np.stack(rem))
     return supers, []
+
+
+def live_rows(gid_block: np.ndarray) -> int:
+    """Rows of a [K, B] gid block holding at least one real graph id.
+    Epoch loops advance their step counter by THIS (not K), so the
+    per-step RNG fold-in indices are unchanged by the all-(-1) padding
+    rows plan_gid_epoch/plan_dense_epoch append."""
+    return int((np.asarray(gid_block) >= 0).any(axis=1).sum())

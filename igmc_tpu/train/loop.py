@@ -159,9 +159,22 @@ def make_device_train_step(forward: Callable, optimizer, ARR: float = 0.0,
             (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch, kk
             )
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), (loss, n)
+            updates, new_opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+            new_params = optax.apply_updates(params, updates)
+            # Remainder blocks are padded to the full [K, B] shape with all
+            # -1 rows so each (B, K) compiles exactly ONE program; such a
+            # dead row must be a no-op — ARR still yields real gradients on
+            # an empty batch — so select the old state back (a plain
+            # select, not lax.cond: GSPMD-trivial and the cost is one
+            # wasted iteration per epoch).
+            live = (gids >= 0).any()
+            sel = lambda a, b: jax.tree_util.tree_map(
+                lambda x, y: jnp.where(live, x, y), a, b)
+            params = sel(new_params, params)
+            opt_state = sel(new_opt_state, opt_state)
+            return ((params, opt_state),
+                    (jnp.where(live, loss, 0.0), jnp.where(live, n, 0.0)))
 
         (params, opt_state), (losses, ns) = jax.lax.scan(
             body, (params, opt_state), (gid_block, jnp.arange(K))
@@ -222,9 +235,18 @@ def make_dense_device_train_step(forward: Callable, optimizer,
             (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch, kk
             )
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), (loss, n)
+            updates, new_opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+            new_params = optax.apply_updates(params, updates)
+            # All-(-1) padding rows (see make_device_train_step) are
+            # no-ops: select the pre-update state back.
+            live = (gids >= 0).any()
+            sel = lambda a, b: jax.tree_util.tree_map(
+                lambda x, y: jnp.where(live, x, y), a, b)
+            params = sel(new_params, params)
+            opt_state = sel(new_opt_state, opt_state)
+            return ((params, opt_state),
+                    (jnp.where(live, loss, 0.0), jnp.where(live, n, 0.0)))
 
         (params, opt_state), (losses, ns) = jax.lax.scan(
             body, (params, opt_state), (gid_block, jnp.arange(K))
@@ -289,10 +311,13 @@ def plan_dense_epoch(buckets, batch_graphs: int, superbatch: int,
             units.append((bi, np.stack(blocks[i * K : (i + 1) * K])))
         rem = blocks[n_super * K:]
         if rem:
-            # One stacked [len(rem), B] unit instead of len(rem) single
-            # dispatches: the per-dispatch latency (≈4 ms through a
-            # tunneled device) dominates these tiny steps, and the [r, B]
-            # shape is fixed per (bucket, K) so it compiles once.
+            # One stacked unit, PADDED with all-(-1) rows to the same
+            # [K, B] shape as the full supers: each bucket then compiles
+            # exactly ONE train and ONE eval program. The dead rows cost
+            # microseconds (the step selects the pre-update state back);
+            # a second compiled shape costs minutes on a backend with a
+            # slow compile service (tunneled TPU).
+            rem = rem + [np.full(B, -1, np.int32)] * (K - len(rem))
             units.append((bi, np.stack(rem)))
     if rng is not None and len(units) > 1:
         units = [units[i] for i in rng.permutation(len(units))]
@@ -309,6 +334,8 @@ def dense_device_train_epoch(step_fns, state: TrainState, dd, buckets, key,
     ideally batched with the eval sums in one device_get. No eager device
     ops or host syncs happen here (each costs ~50-65 ms on a tunneled
     backend vs ~8 ms for a whole flixster epoch of compute)."""
+    from ..batching.device_data import live_rows
+
     units = plan_dense_epoch(buckets, batch_graphs, superbatch, rng)
     params, opt_state = state.params, state.opt_state
     total = np.zeros((), np.float32)
@@ -317,7 +344,7 @@ def dense_device_train_epoch(step_fns, state: TrainState, dd, buckets, key,
         params, opt_state, total, _ = step_fns[bi](
             params, opt_state, total, dd, jnp.asarray(blk), key,
             jnp.asarray(i, jnp.int32))
-        i += blk.shape[0]
+        i += live_rows(blk)
     state.params, state.opt_state = params, opt_state
     if i == 0:
         return None
@@ -457,7 +484,7 @@ def device_train_epoch(dev_step, state: TrainState, dd, order, key,
     [K, B] graph-id block; everything else happens on device. Returns the
     DEVICE scalar sum(loss*n) (None if empty) — see
     dense_device_train_epoch for why nothing syncs here."""
-    from ..batching.device_data import plan_gid_epoch
+    from ..batching.device_data import live_rows, plan_gid_epoch
 
     supers, rest = plan_gid_epoch(dd, order, superbatch)
     params, opt_state = state.params, state.opt_state
@@ -467,7 +494,7 @@ def device_train_epoch(dev_step, state: TrainState, dd, order, key,
         params, opt_state, total, _ = dev_step(
             params, opt_state, total, dd, jnp.asarray(blk),
             key, jnp.asarray(i, jnp.int32))
-        i += blk.shape[0]
+        i += live_rows(blk)
     state.params, state.opt_state = params, opt_state
     if i == 0:
         return None

@@ -142,9 +142,48 @@ def test_plan_gid_epoch_covers_everything():
     seen += [int(x) for x in supers[-1].ravel() if x >= 0]
     assert sorted(seen) == list(range(23))
 
-    # 23 graphs at B=4, K=4 -> 6 blocks = 1 full super + [2, 4] remainder
+    # 23 graphs at B=4, K=4 -> 6 blocks = 1 full super + a remainder of 2
+    # blocks PADDED to the same [4, 4] shape with all-(-1) rows (one
+    # compiled program per (B, K)); live_rows reports the real rows.
+    from igmc_tpu.batching.device_data import live_rows
+
     supers, rest = plan_gid_epoch(dd, order, 4)
     assert rest == []
-    assert supers[0].shape == (4, 4) and supers[1].shape == (2, 4)
+    assert supers[0].shape == (4, 4) and supers[1].shape == (4, 4)
+    assert live_rows(supers[0]) == 4 and live_rows(supers[1]) == 2
+    assert (supers[1][2:] == -1).all()
     seen = [int(x) for blk in supers for x in blk.ravel() if x >= 0]
     assert sorted(seen) == list(range(23))
+
+def test_dead_row_step_is_noop():
+    """A [K, B] block whose trailing rows are all -1 (plan padding) must
+    train EXACTLY like the unpadded [r, B] block: same params, same
+    loss*n sum — the ARR penalty must not leak an optimizer step in."""
+    from igmc_tpu.train.loop import make_device_train_step, make_optimizer
+
+    graphs, packed = make_packed(n=8, seed=3)
+    B = 4
+    npad, epad = capacity_bound(np.diff(packed.node_offsets),
+                                2 * np.diff(packed.edge_offsets), B)
+    dd = DeviceDataset(packed, npad, epad, B)
+    cfg = IGMCConfig(num_relations=5, num_bases=4)
+    params = igmc_init(jax.random.PRNGKey(0), cfg)
+    fwd = lambda p, b, key=None, training=False: igmc_forward(
+        p, b, cfg, key, training)
+    opt = make_optimizer(1e-3)
+    copy = lambda t: jax.tree_util.tree_map(lambda x: jnp.array(x), t)
+    key = jax.random.PRNGKey(7)
+    step = make_device_train_step(fwd, opt, ARR=0.001)
+
+    real = np.arange(8, dtype=np.int32).reshape(2, 4)
+    padded = np.concatenate([real, np.full((2, 4), -1, np.int32)])
+
+    zero = np.zeros((), np.float32)
+    p1, s1, t1, _ = step(copy(params), opt.init(copy(params)), zero, dd,
+                         jnp.asarray(real), key, jnp.int32(0))
+    p2, s2, t2, _ = step(copy(params), opt.init(copy(params)), zero, dd,
+                         jnp.asarray(padded), key, jnp.int32(0))
+    assert float(t1) == float(t2)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
