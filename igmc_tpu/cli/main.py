@@ -118,6 +118,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "slots + all-MXU matmul aggregation (~10-25x "
                         "faster per step on TPU, batching/dense.py). "
                         "auto: dense for static igmc runs on one device")
+    p.add_argument("--dense-buckets", type=int, default=3,
+                   help="max dense slot shapes (batch_mode=dense): more "
+                        "buckets = less padded compute per epoch but ~2 "
+                        "extra compiled programs each; the split minimizes "
+                        "total padded n*e cost (batching/dense.py)")
     return p
 
 
@@ -364,7 +369,7 @@ def main(argv=None):
             res_dir=res.path, seed=args.seed,
             profile_dir=args.profile_dir or None,
             superbatch=args.superbatch, mesh=mesh,
-            batch_mode=batch_mode,
+            batch_mode=batch_mode, dense_buckets=args.dense_buckets,
         )
 
     # resolve_checkpoint accepts both this framework's .ckpt and the

@@ -592,6 +592,7 @@ def train_multiple_epochs(
     superbatch: int = 8,
     mesh=None,
     batch_mode: str = "flat",
+    dense_buckets: int = 3,
 ):
     """Full training run; returns the final test RMSE.
 
@@ -663,9 +664,11 @@ def train_multiple_epochs(
         dd_test = DeviceDataset(test_dataset.packed, 8, 16, batch_size,
                                 sharding=dd_shd)
         tr_buckets = plan_dense_buckets(
-            train_dataset.node_counts(), train_dataset.edge_counts() // 2)
+            train_dataset.node_counts(), train_dataset.edge_counts() // 2,
+            max_buckets=dense_buckets)
         te_buckets = plan_dense_buckets(
-            test_dataset.node_counts(), test_dataset.edge_counts() // 2)
+            test_dataset.node_counts(), test_dataset.edge_counts() // 2,
+            max_buckets=dense_buckets)
         dense_steps = [
             make_dense_device_train_step(forward, optimizer, b.node_slot,
                                          b.edge_slot, ARR, mesh=mesh)

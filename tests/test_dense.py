@@ -212,11 +212,11 @@ def test_dense_train_end_to_end_golden():
         epochs=6, batch_size=16, lr=1e-2, lr_decay_factor=0.1,
         lr_decay_step_size=20, ARR=0.001, test_freq=2, seed=11,
         progress=False, superbatch=4, batch_mode="dense")
-    # Re-pinned when plan_dense_epoch started stacking remainder blocks
-    # into one [r, B] unit (changes the epoch's unit permutation and
-    # dropout key indices, i.e. training order — not the math; the dense
-    # vs flat step-parity tests pin the math).
-    assert rmse == pytest.approx(1.7266978, abs=1e-3), rmse
+    # Re-pinned when plan_dense_buckets switched to cost-minimizing DP
+    # splits (changes bucket membership and hence the epoch's unit
+    # permutation and dropout key indices, i.e. training order — not the
+    # math; the dense vs flat step-parity tests pin the math).
+    assert rmse == pytest.approx(1.6545770, abs=1e-3), rmse
 
 
 def test_dense_test_once_matches_train_eval():
@@ -318,8 +318,14 @@ def test_dense_dp_step_matches_single_device():
     assert sse1 == pytest.approx(sse2, rel=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
+        # GSPMD partitioning reassociates reductions, so single vs DP
+        # gradients differ by ULPs — and one Adam step amplifies that
+        # relatively without bound where grad ~ 0 (update = lr*m/rsqrt(v),
+        # both tiny). Absolute closeness is the meaningful criterion here
+        # (Adam bounds one step's |update| by ~lr); loss/sse/n above match
+        # to 1e-5.
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=0, atol=5e-5)
 
 
 def test_dense_dp_train_end_to_end_matches_single():
