@@ -378,29 +378,31 @@ def main():
     # R=5 aggregate, against the HBM-streaming bound for the same content.
     headline = results["r5_dense_real_edges_per_sec"]
     baseline = hbm_roofline_edges_per_sec(dev, C)
-    result = {
+    detail = {
+        "device": str(dev.device_kind),
+        "layers": 4, "feature_width": C,
+        "headline_layout": "dense-blocked (batching/dense.py); flat "
+                           "segment-layout numbers alongside (r5_*)",
+        "baseline_semantics": (
+            "achieved real-edge rate / HBM-streaming speed-of-light "
+            "for this kernel (gather 4C + scatter 8C + 12 idx bytes "
+            "per edge at full HBM bandwidth). A floor to beat, not a "
+            "ceiling: >1 means the VMEM-resident bucketed design "
+            "outruns any HBM-streaming implementation. Target >= 0.8."),
+        "hbm_streaming_bound_edges_per_sec": round(baseline, 1),
+        "hbm_resident_measured_edges_per_sec": results[
+            "hbm_resident_r5_real_edges_per_sec"],
+        **results,
+    }
+    # Detail first; the compact machine-readable headline is the FINAL line
+    # so tail-capture by the driver always parses it (round-2 VERDICT weak #5).
+    print(json.dumps({"detail": detail}))
+    print(json.dumps({
         "metric": "rgcn_aggregate_real_edges_per_sec_per_chip",
         "value": headline,
         "unit": "edges/s",
         "vs_baseline": round(headline / baseline, 4),
-        "detail": {
-            "device": str(dev.device_kind),
-            "layers": 4, "feature_width": C,
-            "headline_layout": "dense-blocked (batching/dense.py); flat "
-                               "segment-layout numbers alongside (r5_*)",
-            "baseline_semantics": (
-                "achieved real-edge rate / HBM-streaming speed-of-light "
-                "for this kernel (gather 4C + scatter 8C + 12 idx bytes "
-                "per edge at full HBM bandwidth). A floor to beat, not a "
-                "ceiling: >1 means the VMEM-resident bucketed design "
-                "outruns any HBM-streaming implementation. Target >= 0.8."),
-            "hbm_streaming_bound_edges_per_sec": round(baseline, 1),
-            "hbm_resident_measured_edges_per_sec": results[
-                "hbm_resident_r5_real_edges_per_sec"],
-            **results,
-        },
-    }
-    print(json.dumps(result))
+    }))
 
 
 if __name__ == "__main__":
