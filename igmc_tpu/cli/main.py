@@ -95,6 +95,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "RMSE (see PARITY.md)")
     p.add_argument("--n-devices", type=int, default=0,
                    help="data-parallel devices (0 = single device)")
+    p.add_argument("--parallel", default="auto",
+                   choices=["auto", "dp", "ep"],
+                   help="multi-device strategy with --n-devices > 1: 'dp' "
+                        "shards batches over the mesh; 'ep' edge-partitions "
+                        "ONE giant batch-graph per step across chips "
+                        "(parallel/ep.py) — the scale-up path for batches "
+                        "too big for one chip (igmc only). auto = dp")
     p.add_argument("--extract-backend", default="auto",
                    choices=["auto", "numpy", "native"],
                    help="subgraph extraction engine")
@@ -334,9 +341,65 @@ def main(argv=None):
     fwd, params, cfg = build_model(args, split, n_features, train_graphs)
 
     from ..train import (load_checkpoint, resolve_checkpoint, test_once,
-                         train_multiple_epochs)
+                         test_once_ep, train_multiple_epochs,
+                         train_multiple_epochs_ep)
 
     logger = make_logger(res, args.save_interval)
+    parallel = args.parallel
+    if parallel == "auto":
+        parallel = "dp"
+    if parallel == "ep":
+        if args.model != "igmc":
+            raise SystemExit("--parallel ep implements the IGMC model "
+                             "(see parallel/ep.py); use --model igmc")
+        from ..parallel import make_mesh
+
+        D = max(args.n_devices, 1)
+        ep_mesh = make_mesh(n_data=D)
+        print(f"Edge-partitioned training over {D} devices")
+        state = None
+        if not args.no_train:
+            _, state = train_multiple_epochs_ep(
+                train_graphs, test_graphs, cfg, params, mesh=ep_mesh,
+                epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+                lr_decay_factor=args.lr_decay_factor,
+                lr_decay_step_size=args.lr_decay_step_size,
+                weight_decay=0.0, ARR=args.ARR, test_freq=args.test_freq,
+                logger=logger, continue_from=args.continue_from,
+                res_dir=res.path, seed=args.seed,
+                profile_dir=args.profile_dir or None,
+            )
+        ckpt_dir = args.transfer if args.transfer else res.path
+        model_pos = resolve_checkpoint(ckpt_dir, "model", args.epochs)
+        if args.visualize:
+            print("--visualize under --parallel ep: rerun without ep "
+                  "(visualization evaluates per-subgraph on one device)")
+        if args.ensemble:
+            if args.data_name == "ml_1m":
+                se, ee, iv = args.epochs - 15, args.epochs, 5
+            else:
+                se, ee, iv = args.epochs - 30, args.epochs, 10
+            checkpoints = [resolve_checkpoint(ckpt_dir, "model", x)
+                           for x in range(se, ee + 1, iv)
+                           if os.path.isfile(resolve_checkpoint(
+                               ckpt_dir, "model", x))]
+            rmse = test_once_ep(test_graphs, cfg, params, args.batch_size,
+                                ep_mesh, ensemble=True,
+                                checkpoints=checkpoints)
+            print("Ensemble test rmse is: {:.6f}".format(rmse))
+            res.log_line("Epoch ensemble of range({}, {}, {}), train loss "
+                         "{:.4f}, test rmse {:.6f}".format(se, ee, iv, 0,
+                                                           rmse))
+        elif args.transfer:
+            params_t = load_checkpoint(model_pos, params)
+            rmse = test_once_ep(test_graphs, cfg, params, args.batch_size,
+                                ep_mesh, params=params_t)
+            print("Test rmse is: {:.6f}".format(rmse))
+            res.log_line("Epoch transfer {}, epochs {}, train loss {:.4f}, "
+                         "test rmse {:.6f}".format(args.transfer,
+                                                   args.epochs, 0, rmse))
+        return
+
     batch_mode = args.batch_mode
     if batch_mode == "auto":
         # Dense needs packed (static) datasets and the igmc model

@@ -1,7 +1,9 @@
 from .mesh import make_mesh, batch_sharding, replicated_sharding
 from .dp import make_dp_train_step, make_dp_eval_step, stack_batches, split_for_devices
-from .ep import (EPBatch, partition_batch, make_ep_forward,
-                 make_ep_train_step, make_ep_eval_step)
+from .ep import (EPBatch, EPCaps, partition_batch, pad_ep_batch,
+                 build_ep_batches, ep_batch_caps, max_ep_caps,
+                 make_ep_forward, make_ep_train_step, make_ep_eval_step,
+                 ep_train_epoch, ep_eval_sums, ep_predict_all)
 from .multihost import (process_shard_indices, Subset,
                         global_batch_from_local, capacity_ladders)
 
@@ -9,8 +11,10 @@ __all__ = [
     "make_mesh", "batch_sharding", "replicated_sharding",
     "make_dp_train_step", "make_dp_eval_step", "stack_batches",
     "split_for_devices",
-    "EPBatch", "partition_batch", "make_ep_forward",
-    "make_ep_train_step", "make_ep_eval_step",
+    "EPBatch", "EPCaps", "partition_batch", "pad_ep_batch",
+    "build_ep_batches", "ep_batch_caps", "max_ep_caps",
+    "make_ep_forward", "make_ep_train_step", "make_ep_eval_step",
+    "ep_train_epoch", "ep_eval_sums", "ep_predict_all",
     "process_shard_indices", "Subset", "global_batch_from_local",
     "capacity_ladders",
 ]

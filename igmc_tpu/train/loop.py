@@ -838,6 +838,179 @@ def train_multiple_epochs(
     return rmses[-1], state
 
 
+def train_multiple_epochs_ep(
+    train_dataset,
+    test_dataset,
+    cfg,
+    init_params: dict,
+    mesh,
+    epochs: int,
+    batch_size: int,
+    lr: float,
+    lr_decay_factor: float,
+    lr_decay_step_size: int,
+    weight_decay: float = 0.0,
+    ARR: float = 0.0,
+    test_freq: int = 1,
+    logger: Optional[Callable] = None,
+    continue_from: Optional[int] = None,
+    res_dir: Optional[str] = None,
+    seed: int = 1,
+    progress: bool = True,
+    profile_dir: Optional[str] = None,
+):
+    """Full training run under EDGE-PARTITIONED model parallelism: every
+    batch is ONE giant disjoint batch-graph sharded over the mesh
+    (parallel/ep.py), the TPU-native scale-up analog of the reference's
+    subgraph/batch-size knobs (/root/reference/Main.py:88-93).
+
+    Same epoch semantics as train_multiple_epochs (step LR decay, periodic
+    RMSE eval, checkpoint/resume via the logger, reference log format),
+    with EP-specific data handling: batches are collated + partitioned ONCE
+    (one compiled shape for the whole run, device-resident), epochs permute
+    the batch visit order, and edge dropout runs as the communication-free
+    hash stream (both directed copies of an edge agree across chips).
+    Needs `cfg` (an IGMCConfig) rather than a bare forward: the sharded
+    forward is built per-mesh. Returns (final_rmse, state).
+    """
+    from ..parallel.ep import (build_ep_batches, ep_eval_sums,
+                               ep_train_epoch, make_ep_eval_step,
+                               make_ep_train_step)
+    from ..parallel.mesh import replicated_sharding
+
+    optimizer = make_optimizer(lr, weight_decay)
+    rep = replicated_sharding(mesh)
+    # Copy before placing: the train step donates its param/opt buffers, and
+    # device_put may alias an already-placed array — without the copy the
+    # caller's init_params would be deleted by the first step.
+    params = jax.device_put(
+        jax.tree_util.tree_map(lambda x: np.array(x), init_params), rep)
+    opt_state = jax.device_put(optimizer.init(params), rep)
+    state = TrainState(params=params, opt_state=opt_state)
+
+    D = mesh.devices.size
+    eps_train, _ = build_ep_batches(train_dataset, batch_size, D)
+    eps_test, _ = build_ep_batches(test_dataset, batch_size, D)
+    step_fn, _, _ = make_ep_train_step(cfg, optimizer, ARR, mesh)
+    eval_fn = make_ep_eval_step(cfg, mesh)
+
+    start_epoch = 1
+    if continue_from is not None:
+        state.params = load_checkpoint(
+            checkpoint_path(res_dir, "model", continue_from), state.params)
+        state.opt_state = load_checkpoint(
+            checkpoint_path(res_dir, "optimizer", continue_from),
+            state.opt_state)
+        start_epoch = continue_from + 1
+        epochs -= continue_from
+
+    rmses = []
+    t_start = time.perf_counter()
+    epoch_iter = range(start_epoch, epochs + start_epoch)
+    pbar = None
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            pbar = tqdm(epoch_iter)
+            epoch_iter = pbar
+        except ImportError:
+            pass
+
+    for epoch in epoch_iter:
+        profiling = profile_dir and epoch == start_epoch + 1
+        if profiling:
+            jax.profiler.start_trace(profile_dir)
+        rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
+        loss_dev = ep_train_epoch(step_fn, state, eps_train, seed, epoch, rng)
+        if profiling:
+            jax.profiler.stop_trace()
+            print(f"jax.profiler trace of epoch {epoch} written to "
+                  f"{profile_dir}")
+        eval_acc = (ep_eval_sums(eval_fn, state.params, eps_test)
+                    if epoch % test_freq == 0 else None)
+        fetched = jax.device_get((loss_dev, eval_acc))
+        train_loss = (float(fetched[0]) / max(len(train_dataset), 1)
+                      if fetched[0] is not None else 0.0)
+        if eval_acc is not None:
+            sse, cnt = fetched[1]
+            rmses.append(math.sqrt(float(sse) / max(float(cnt), 1.0)))
+        elif epoch % test_freq == 0:
+            rmses.append(0.0)
+        else:
+            rmses.append(float("nan"))
+        state.epoch = epoch
+
+        info = {"epoch": epoch, "train_loss": train_loss,
+                "test_rmse": rmses[-1]}
+        msg = "Epoch {}, train loss {:.6f}, test rmse {:.6f}".format(
+            *info.values())
+        if pbar is not None:
+            pbar.set_description(msg)
+        else:
+            print(msg)
+
+        if epoch % lr_decay_step_size == 0:
+            state.opt_state = set_learning_rate(
+                state.opt_state,
+                lr_decay_factor * get_learning_rate(state.opt_state))
+
+        if logger is not None:
+            logger(info, state)
+
+    duration = time.perf_counter() - t_start
+    print("Final Test RMSE: {:.6f}, Duration: {:.6f}".format(
+        rmses[-1], duration))
+    return rmses[-1], state
+
+
+def test_once_ep(
+    test_dataset,
+    cfg,
+    params_template: dict,
+    batch_size: int,
+    mesh,
+    params: Optional[dict] = None,
+    logger: Optional[Callable] = None,
+    ensemble: bool = False,
+    checkpoints=None,
+):
+    """test_once under EP sharding: single params or prediction-averaged
+    ensemble, evaluated over mesh-partitioned giant batches."""
+    from ..parallel.ep import (build_ep_batches, ep_eval_sums,
+                               ep_predict_all, make_ep_eval_step)
+
+    D = mesh.devices.size
+    eps, chunks = build_ep_batches(test_dataset, batch_size, D)
+    eval_fn = make_ep_eval_step(cfg, mesh)
+    ys = np.array([test_dataset.get(i).y for i in range(len(test_dataset))],
+                  np.float32)
+    t_start = time.perf_counter()
+    if ensemble and checkpoints:
+        outs = []
+        for ckpt in checkpoints:
+            p = load_checkpoint(ckpt, params_template)
+            outs.append(ep_predict_all(eval_fn, p, eps, chunks,
+                                       len(test_dataset)))
+        mean_pred = np.stack(outs, axis=1).mean(axis=1)
+        rmse = math.sqrt(float(np.mean((mean_pred - ys) ** 2)))
+    else:
+        p = params if params is not None else params_template
+        acc = ep_eval_sums(eval_fn, p, eps)
+        if acc is None:
+            rmse = 0.0
+        else:
+            sse, cnt = jax.device_get(acc)
+            rmse = math.sqrt(float(sse) / max(float(cnt), 1.0))
+    duration = time.perf_counter() - t_start
+    print("Test Once RMSE: {:.6f}, Duration: {:.6f}".format(rmse, duration))
+    if logger is not None:
+        epoch_info = "test_once" if not ensemble else "ensemble"
+        logger({"epoch": epoch_info, "train_loss": 0, "test_rmse": rmse},
+               None)
+    return rmse
+
+
 def test_once(
     test_dataset,
     forward: Callable,

@@ -217,3 +217,103 @@ def test_ep_dropout_direction_tying_follows_config():
             assert all(agree)  # tied
         else:
             assert not all(agree)  # at p=0.5 some pairs must disagree
+
+
+def test_pad_ep_batch_preserves_forward():
+    """Growing the static caps (shared-shape epoch batches) must not change
+    the forward output: halo slots are renumbered consistently."""
+    from igmc_tpu.parallel.ep import EPCaps, ep_batch_caps, pad_ep_batch
+
+    batch = make_batch(seed=13)
+    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0)
+    params = igmc_init(jax.random.PRNGKey(3), cfg)
+    mesh = make_mesh(n_data=8)
+    ep = partition_batch(batch, 8)
+    caps = ep_batch_caps(ep)
+    big = EPCaps(caps.intra + 16, caps.bnd + 8, caps.halo + 8, caps.tgt + 8)
+    ep2 = pad_ep_batch(ep, big)
+    fwd = make_ep_forward(cfg, mesh)
+    o1 = fwd(params, jax.device_put(ep), jnp.uint32(0), training=False)
+    o2 = fwd(params, jax.device_put(ep2), jnp.uint32(0), training=False)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-6, atol=1e-6)
+
+
+def _tiny_static_dataset(n_links=48, seed=0):
+    from igmc_tpu.batching import StaticGraphDataset
+
+    rng = np.random.default_rng(seed)
+    M = (rng.random((30, 30)) < 0.4).astype(np.float32) * rng.integers(
+        1, 6, (30, 30)).astype(np.float32)
+    Ms = sp.csr_matrix(M)
+    us, vs = Ms.nonzero()
+    labels = (np.asarray(Ms[us, vs]).ravel() - 1).astype(np.int64)
+    cv = np.arange(1.0, 6.0)
+    n = min(n_links, len(us))
+    return StaticGraphDataset(None, Ms, (us[:n], vs[:n]), labels[:n], h=1,
+                              class_values=cv)
+
+
+def test_build_ep_batches_shared_shape_and_prediction_order():
+    """All EP batches of a dataset share one static shape (one compiled
+    program), and ep_predict_all restores dataset prediction order exactly
+    (vs the flat single-device forward)."""
+    from igmc_tpu.parallel.ep import build_ep_batches, ep_predict_all
+    from igmc_tpu.batching.batch import collate
+
+    ds = _tiny_static_dataset(40)
+    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0)
+    params = igmc_init(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(n_data=8)
+    eps, chunks = build_ep_batches(ds, 16, 8)
+    assert len(eps) == 3
+    shapes = {tuple(np.shape(getattr(e, f)) for f in
+                    ("intra_src", "bnd_src", "send_idx", "tgt_send_idx"))
+              for e in eps}
+    assert len(shapes) == 1, "EP epoch batches must share one static shape"
+
+    ev = make_ep_eval_step(cfg, mesh)
+    preds = ep_predict_all(ev, params, eps, chunks, len(ds))
+    assert np.isfinite(preds).all()
+
+    # flat single-device reference over the same composition
+    graphs = [ds.get(i) for i in range(len(ds))]
+    nb = sum(g.num_nodes for g in graphs)
+    eb = sum(g.num_edges for g in graphs)
+    flat = collate(graphs, len(ds), -(-nb // 8) * 8, -(-eb // 8) * 8)
+    ref = igmc_forward(params, jax.device_put(flat), cfg, None, False)
+    np.testing.assert_allclose(preds, np.asarray(ref)[: len(ds)],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ep_training_loop_decreases_and_resumes(tmp_path):
+    """train_multiple_epochs_ep: loss decreases over epochs; a run
+    checkpointed at epoch 2 and resumed with continue_from=2 reproduces
+    the uninterrupted run's final RMSE exactly (absolute-epoch seeding)."""
+    from igmc_tpu.train import train_multiple_epochs_ep
+    from igmc_tpu.utils import ResultsDir, make_logger
+
+    train_ds = _tiny_static_dataset(40, seed=1)
+    test_ds = _tiny_static_dataset(24, seed=2)
+    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.2)
+    params = igmc_init(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(n_data=8)
+
+    losses = []
+    logger = lambda info, state: losses.append(info["train_loss"])
+    kw = dict(epochs=4, batch_size=16, lr=1e-2, lr_decay_factor=0.1,
+              lr_decay_step_size=50, ARR=0.001, test_freq=1,
+              seed=7, progress=False)
+    res = ResultsDir(str(tmp_path / "results"), "tiny", "", True)
+    saver = make_logger(res, save_interval=1)
+    rmse_full, _ = train_multiple_epochs_ep(
+        train_ds, test_ds, cfg, params, mesh=mesh,
+        logger=lambda i, s: (losses.append(i["train_loss"]), saver(i, s)),
+        res_dir=res.path, **kw)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    rmse_resumed, _ = train_multiple_epochs_ep(
+        train_ds, test_ds, cfg, params, mesh=mesh, continue_from=2,
+        res_dir=res.path, **kw)
+    assert abs(rmse_resumed - rmse_full) < 1e-6
