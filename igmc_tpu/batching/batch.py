@@ -44,6 +44,14 @@ class GraphBatch:
     target_v: np.ndarray     # int32 [B]   batch-local node idx of target item
     u_feat: Optional[np.ndarray] = None  # float32 [B, du]
     v_feat: Optional[np.ndarray] = None  # float32 [B, dv]
+    # Optional dst/src-blocked aggregation plans (ops/blocked.py) for the
+    # scatter-free flat R-GCN path — attached by BatchLoader when
+    # flat_aggregate is 'blocked'; None rides through pytree ops untouched.
+    blocked: Optional[object] = None
+    # Optional Pallas block-aligned edges (kernels/rgcn_aggregate.py
+    # block_align_edges output tuple) — attached by BatchLoader when
+    # flat_aggregate is 'pallas'.
+    aligned: Optional[tuple] = None
     # Pytree AUX (static, not a leaf): how a leading stack axis should be
     # interpreted — None (flat), "superbatch" (scan over K training steps),
     # or "devices" (one sub-batch per mesh device). Consumers must not
@@ -72,7 +80,7 @@ def _register_pytree():
     fields = [
         "node_label", "edge_src", "edge_dst", "edge_type", "edge_canon",
         "node2graph", "node_mask", "edge_mask", "y", "graph_mask",
-        "target_u", "target_v", "u_feat", "v_feat",
+        "target_u", "target_v", "u_feat", "v_feat", "blocked", "aligned",
     ]
     jax.tree_util.register_pytree_node(
         GraphBatch,

@@ -304,6 +304,9 @@ class BatchLoader:
         drop_last: bool = False,
         superbatch: int = 0,
         n_devices: int = 0,
+        flat_aggregate: Optional[str] = None,
+        plan_rows: int = 256,
+        plan_eblk: int = 1024,
     ):
         if n_devices > 1 and batch_size % n_devices:
             raise ValueError(
@@ -312,6 +315,20 @@ class BatchLoader:
         if n_devices > 1:
             superbatch = 0  # DP batches already carry a leading device axis
         self.n_devices = n_devices
+        # Alternate flat aggregation engines need per-batch host plans
+        # (ops/blocked.py; kernels block_align_edges), attached to the batch
+        # with a FIXED block count per shape bucket (one compile each).
+        if flat_aggregate in (None, "segment", "auto"):
+            flat_aggregate = None
+        if flat_aggregate is not None:
+            if n_devices > 1:
+                raise ValueError(
+                    f"flat_aggregate={flat_aggregate!r} is a single-device "
+                    "path (DP sub-batches carry no plans)")
+            superbatch = 0  # plans are not stackable across batches
+        self.flat_aggregate = flat_aggregate
+        self.plan_rows = plan_rows
+        self.plan_eblk = plan_eblk
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -392,7 +409,40 @@ class BatchLoader:
         total_e = sum(g.num_edges for g in graphs)
         node_pad = self._bucket(total_n, self.node_ladder, "node")
         edge_pad = self._bucket(total_e, self.edge_ladder, "edge")
-        return collate(graphs, self.batch_size, node_pad, edge_pad)
+        if self.flat_aggregate == "pallas":
+            # the Pallas kernel's output chunking needs num_nodes % rows == 0
+            node_pad = -(-node_pad // self.plan_rows) * self.plan_rows
+        batch = collate(graphs, self.batch_size, node_pad, edge_pad)
+        if self.flat_aggregate is not None:
+            self._attach_plan(batch, node_pad, edge_pad)
+        return batch
+
+    def _attach_plan(self, batch: GraphBatch, node_pad: int, edge_pad: int):
+        """Attach the blocked / pallas aggregation plan for this batch,
+        sized to the bucket's capacity so each (node_pad, edge_pad) bucket
+        compiles exactly one program."""
+        from ..ops.blocked import plan_blocked_edges, plan_capacity_blocks
+
+        nb = plan_capacity_blocks(node_pad, edge_pad, self.plan_rows,
+                                  self.plan_eblk)
+        if self.flat_aggregate == "blocked":
+            batch.blocked = plan_blocked_edges(
+                batch.edge_src, batch.edge_dst, batch.edge_type,
+                batch.edge_mask, batch.edge_canon, node_pad,
+                rows=self.plan_rows, eblk=self.plan_eblk,
+                num_blocks=nb, device_put=False)
+        elif self.flat_aggregate == "pallas":
+            from ..kernels.rgcn_aggregate import block_align_edges
+
+            out = block_align_edges(
+                np.asarray(batch.edge_src), np.asarray(batch.edge_dst),
+                np.asarray(batch.edge_type), np.asarray(batch.edge_mask),
+                node_pad, eblk=self.plan_eblk, rows=self.plan_rows,
+                num_blocks=nb)
+            batch.aligned = tuple(out[:6])
+        else:
+            raise ValueError(f"unknown flat_aggregate "
+                             f"{self.flat_aggregate!r}")
 
     def _bucket(self, n: int, ladder, which: str) -> int:
         """bucket_for with overflow telemetry: a batch above the ladder mints

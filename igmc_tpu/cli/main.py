@@ -125,6 +125,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "slots + all-MXU matmul aggregation (~10-25x "
                         "faster per step on TPU, batching/dense.py). "
                         "auto: dense for static igmc runs on one device")
+    p.add_argument("--flat-aggregate", default="auto",
+                   choices=["auto", "segment", "blocked", "pallas"],
+                   help="flat-layout R-GCN aggregation engine (igmc only): "
+                        "'segment' = XLA gather/scatter (fastest while the "
+                        "batch fits VMEM); 'blocked' = scatter-free one-hot "
+                        "matmul blocks, fwd AND bwd (ops/blocked.py, the "
+                        "HBM-resident giant-batch path, trains with "
+                        "adj_dropout); 'pallas' = fused kernel "
+                        "(kernels/rgcn_aggregate.py, inference-leaning). "
+                        "auto = segment. Forces batch-mode flat.")
+    p.add_argument("--dense-strategy", default="auto",
+                   choices=["auto", "edge", "adjacency"],
+                   help="dense-layout aggregation strategy (batch-mode "
+                        "dense): 'edge' = per-edge one-hot matmuls (the "
+                        "measured production path), 'adjacency' = "
+                        "precomputed per-relation [B,R,n,n] adjacencies "
+                        "shared by all layers (models/rgcn.py). auto = edge")
     p.add_argument("--dense-buckets", type=int, default=3,
                    help="max dense slot shapes (batch_mode=dense): more "
                         "buckets = less padded compute per epoch but ~2 "
@@ -282,6 +299,10 @@ def build_model(args, split, n_features, train_graphs=None):
             conv_strategy=args.conv_strategy,
             compute_dtype=(None if args.compute_dtype == "float32"
                            else args.compute_dtype),
+            flat_aggregate=("segment" if args.flat_aggregate == "auto"
+                            else args.flat_aggregate),
+            use_pallas=args.flat_aggregate == "pallas",
+            dense_strategy=args.dense_strategy,
         )
         params = igmc_init(key, cfg)
         fwd = lambda p, b, key=None, training=False: igmc_forward(
@@ -400,17 +421,27 @@ def main(argv=None):
                                                    args.epochs, 0, rmse))
         return
 
+    flat_aggregate = (None if args.flat_aggregate in ("auto", "segment")
+                      else args.flat_aggregate)
+    if flat_aggregate is not None and args.model != "igmc":
+        raise SystemExit("--flat-aggregate blocked/pallas applies to the "
+                         "R-GCN trunk; use --model igmc")
     batch_mode = args.batch_mode
-    if batch_mode == "auto":
-        # Dense needs packed (static) datasets and the igmc model
-        # (GNN/DGCNN trunks aggregate over the flat layout). Multi-device
-        # dense DP additionally needs the batch to split evenly over the
-        # mesh's graph-axis sharding.
+    if flat_aggregate is not None:
+        if batch_mode == "dense":
+            raise SystemExit("--flat-aggregate conflicts with "
+                             "--batch-mode dense (pick one layout)")
+        batch_mode = "flat"
+        print(f"batch mode: flat (--flat-aggregate {flat_aggregate})")
+    elif batch_mode == "auto":
+        # Dense needs packed (static) datasets; every model family has a
+        # dense trunk (igmc: rgcn_dense_apply; gnn/dgcnn: gcn_dense_apply +
+        # dense_sort_pool). Multi-device dense DP additionally needs the
+        # batch to split evenly over the mesh's graph-axis sharding.
         static = not (args.dynamic_train or args.dynamic_test
                       or args.dynamic_val)
         dp_ok = args.n_devices <= 1 or args.batch_size % args.n_devices == 0
-        batch_mode = ("dense" if args.model == "igmc" and static and dp_ok
-                      else "flat")
+        batch_mode = "dense" if static and dp_ok else "flat"
         print(f"batch mode: {batch_mode} (auto)")
     mesh = None
     if args.n_devices > 1:
@@ -433,6 +464,7 @@ def main(argv=None):
             profile_dir=args.profile_dir or None,
             superbatch=args.superbatch, mesh=mesh,
             batch_mode=batch_mode, dense_buckets=args.dense_buckets,
+            flat_aggregate=flat_aggregate,
         )
 
     # resolve_checkpoint accepts both this framework's .ckpt and the
@@ -486,12 +518,14 @@ def main(argv=None):
                 start_epoch, end_epoch, interval)
         rmse = test_once(test_graphs, fwd, params, args.batch_size,
                          ensemble=True, checkpoints=checkpoints,
-                         batch_mode=batch_mode)
+                         batch_mode=batch_mode,
+                         flat_aggregate=flat_aggregate)
         print("Ensemble test rmse is: {:.6f}".format(rmse))
     elif args.transfer:
         params_t = load_checkpoint(model_pos, params)
         rmse = test_once(test_graphs, fwd, params, args.batch_size,
-                         params=params_t, batch_mode=batch_mode)
+                         params=params_t, batch_mode=batch_mode,
+                         flat_aggregate=flat_aggregate)
         epoch_info = "transfer {}, epochs {}".format(args.transfer, args.epochs)
         print("Test rmse is: {:.6f}".format(rmse))
     else:

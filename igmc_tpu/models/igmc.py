@@ -31,7 +31,7 @@ from ..batching.batch import GraphBatch
 from ..batching.dense import DenseBatch
 from ..ops.dropout import edge_dropout, edge_dropout_dense, feature_dropout
 from ..ops.segment import masked_segment_sum
-from ..ops.sort_pool import global_sort_pool
+from ..ops.sort_pool import dense_sort_pool, global_sort_pool
 from .rgcn import (
     gcn_apply, gcn_init, linear_apply, linear_init, rgcn_apply, rgcn_init,
     rgcn_relation_weights, _uniform,
@@ -67,6 +67,12 @@ class IGMCConfig:
     use_pallas: bool = False               # fused Pallas aggregate (see kernels/)
     pallas_rows: int = 256                 # output-chunk rows of the kernel
     pallas_interpret: bool = False         # interpreter mode (CPU tests)
+    # Flat-layout aggregation engine: 'segment' = XLA gather/scatter (best
+    # while the batch fits VMEM), 'blocked' = dst/src-blocked one-hot
+    # matmuls, scatter-free fwd AND bwd (ops/blocked.py — the HBM-resident
+    # giant-batch path; needs batch.blocked plans), 'pallas' = the fused
+    # kernel via `aligned` (inference). See kernels/README.md.
+    flat_aggregate: str = "segment"
 
 
 def igmc_init(key, cfg: IGMCConfig):
@@ -109,13 +115,27 @@ def igmc_forward(params, batch: GraphBatch, cfg: IGMCConfig,
     x = jax.nn.one_hot(batch.node_label, cfg.num_features, dtype=jnp.float32)
     x = x * batch.node_mask[:, None].astype(jnp.float32)
 
+    blocked = getattr(batch, "blocked", None)
+    use_blocked = cfg.flat_aggregate == "blocked"
+    if use_blocked and blocked is None:
+        raise ValueError(
+            "flat_aggregate='blocked' needs dst/src-blocked plans on the "
+            "batch (BatchLoader(flat_aggregate='blocked') or "
+            "ops.plan_blocked_edges)")
+    if use_blocked:
+        return _igmc_forward_blocked(params, batch, blocked, cfg, key,
+                                     training)
+
+    if aligned is None:
+        aligned = getattr(batch, "aligned", None)
     emask = batch.edge_mask
     if training and cfg.adj_dropout > 0:
         if cfg.use_pallas and aligned is not None:
             raise NotImplementedError(
                 "use_pallas + adj_dropout: the Pallas path bakes the edge "
                 "mask into host-side block alignment; train with "
-                "adj_dropout=0 or the XLA path")
+                "adj_dropout=0, or flat_aggregate='blocked' whose hash "
+                "dropout recomputes plan masks on device (ops/blocked.py)")
         key, k_edge = jax.random.split(key)
         emask = edge_dropout(k_edge, emask, batch.edge_canon,
                              cfg.adj_dropout, cfg.force_undirected, training)
@@ -155,6 +175,61 @@ def igmc_forward(params, batch: GraphBatch, cfg: IGMCConfig,
     if cfg.side_features:
         h = jnp.concatenate([h, batch.u_feat, batch.v_feat], axis=1)
 
+    h = jax.nn.relu(linear_apply(params["lin1"], h))
+    if training:
+        key, k_drop = jax.random.split(key)
+        h = feature_dropout(k_drop, h, 0.5, training)
+    out = linear_apply(params["lin2"], h)[:, 0]
+    return out * cfg.multiply_by
+
+
+def _igmc_forward_blocked(params, batch: GraphBatch, blocked,
+                          cfg: IGMCConfig, key=None,
+                          training: bool = False):
+    """IGMC forward with the scatter-free blocked R-GCN aggregate
+    (ops/blocked.py): same math as the segment path to float tolerance
+    (tests/test_blocked.py), but the per-layer aggregation (and its
+    backward) runs as MXU indicator matmuls — the HBM-resident giant-batch
+    path. Edge dropout is the stateless hash stream over the plans' edge
+    ids, so training works without host-side mask re-alignment."""
+    from ..ops.blocked import (blocked_degree, blocked_rgcn_aggregate,
+                               dropout_masks)
+
+    if cfg.aggr not in ("mean", "sum"):
+        raise NotImplementedError(
+            f"flat_aggregate='blocked' supports aggr mean/sum, not "
+            f"{cfg.aggr}")
+    N = batch.node_label.shape[0]
+    x = jax.nn.one_hot(batch.node_label, cfg.num_features, dtype=jnp.float32)
+    x = x * batch.node_mask[:, None].astype(jnp.float32)
+
+    masks = (blocked.fwd.mask, blocked.bwd.mask)
+    if training and cfg.adj_dropout > 0:
+        key, k_edge = jax.random.split(key)
+        seed = jax.random.randint(k_edge, (), 0, jnp.iinfo(jnp.int32).max
+                                  ).astype(jnp.uint32)
+        masks = dropout_masks(blocked, cfg.adj_dropout,
+                              cfg.force_undirected, seed)
+    inv_deg = None
+    if cfg.aggr == "mean":
+        deg = blocked_degree(blocked.fwd, masks[0], blocked.rows, N)
+        inv_deg = (1.0 / jnp.maximum(deg, 1.0))[:, None]
+
+    states = []
+    for conv in params["convs"]:
+        agg = blocked_rgcn_aggregate(x, conv["att"], conv["basis"], blocked,
+                                     masks, blocked.rows, N, blocked.group)
+        if cfg.aggr == "mean":
+            agg = agg * inv_deg
+        x = jnp.tanh(agg + x @ conv["root"] + conv["bias"])
+        states.append(x)
+    concat_states = jnp.concatenate(states, axis=1)
+
+    h_u = concat_states[batch.target_u]
+    h_v = concat_states[batch.target_v]
+    h = jnp.concatenate([h_u, h_v], axis=1)
+    if cfg.side_features:
+        h = jnp.concatenate([h, batch.u_feat, batch.v_feat], axis=1)
     h = jax.nn.relu(linear_apply(params["lin1"], h))
     if training:
         key, k_drop = jax.random.split(key)
@@ -288,17 +363,50 @@ def _gcn_trunk(conv_params_list, batch, emask, num_features):
     return jnp.concatenate(states, axis=1)
 
 
-def gnn_forward(params, batch: GraphBatch, cfg: GNNConfig,
-                key=None, training: bool = False):
-    emask = batch.edge_mask
+def _gcn_trunk_dense(conv_params_list, batch: DenseBatch, cfg, key,
+                     training: bool):
+    """GCN trunk over the dense-blocked layout ([B, n, C] slots); returns
+    the layer-concat states [B, n, sum(latent)]."""
+    from .rgcn import gcn_dense_apply
+
+    mask_f = mask_r = batch.edge_mask
     if training and cfg.adj_dropout > 0:
         key, k_edge = jax.random.split(key)
-        emask = edge_dropout(k_edge, emask, batch.edge_canon,
-                             cfg.adj_dropout, cfg.force_undirected, training)
-    concat_states = _gcn_trunk(params["convs"], batch, emask, cfg.num_features)
-    pooled = masked_segment_sum(
-        concat_states, batch.node2graph, batch.node_mask, batch.num_graphs
-    )
+        mask_f, mask_r = edge_dropout_dense(
+            k_edge, batch.edge_mask, cfg.adj_dropout, cfg.force_undirected,
+            training)
+    x = jax.nn.one_hot(batch.node_label, cfg.num_features, dtype=jnp.float32)
+    x = x * batch.node_mask[..., None].astype(jnp.float32)
+    states = []
+    for conv_params in conv_params_list:
+        x = jnp.tanh(gcn_dense_apply(conv_params, x, batch.edge_src,
+                                     batch.edge_dst, mask_f, mask_r,
+                                     batch.node_mask))
+        states.append(x)
+    return jnp.concatenate(states, axis=-1), key
+
+
+def gnn_forward(params, batch, cfg: GNNConfig,
+                key=None, training: bool = False):
+    if isinstance(batch, DenseBatch):
+        concat_states, key = _gcn_trunk_dense(params["convs"], batch, cfg,
+                                              key, training)
+        pooled = jnp.sum(
+            concat_states * batch.node_mask[..., None].astype(jnp.float32),
+            axis=1)  # global_add_pool over node slots
+    else:
+        emask = batch.edge_mask
+        if training and cfg.adj_dropout > 0:
+            key, k_edge = jax.random.split(key)
+            emask = edge_dropout(k_edge, emask, batch.edge_canon,
+                                 cfg.adj_dropout, cfg.force_undirected,
+                                 training)
+        concat_states = _gcn_trunk(params["convs"], batch, emask,
+                                   cfg.num_features)
+        pooled = masked_segment_sum(
+            concat_states, batch.node2graph, batch.node_mask,
+            batch.num_graphs
+        )
     h = jax.nn.relu(linear_apply(params["lin1"], pooled))
     if training:
         key, k_drop = jax.random.split(key)
@@ -381,33 +489,63 @@ def dgcnn_init(key, cfg: DGCNNConfig):
     }
 
 
-def dgcnn_forward(params, batch: GraphBatch, cfg: DGCNNConfig,
+def dgcnn_forward(params, batch, cfg: DGCNNConfig,
                   key=None, training: bool = False):
-    N = batch.node_label.shape[0]
-    emask = batch.edge_mask
-    if training and cfg.adj_dropout > 0:
-        key, k_edge = jax.random.split(key)
-        emask = edge_dropout(k_edge, emask, batch.edge_canon,
-                             cfg.adj_dropout, cfg.force_undirected, training)
-
-    if cfg.relational:
-        x = jax.nn.one_hot(batch.node_label, cfg.num_features, dtype=jnp.float32)
-        x = x * batch.node_mask[:, None].astype(jnp.float32)
-        states = []
-        for conv_params in params["convs"]:
-            x = jnp.tanh(
-                rgcn_apply(conv_params, x, batch.edge_src, batch.edge_dst,
-                           batch.edge_type, emask, N)
-            )
-            states.append(x)
-        concat_states = jnp.concatenate(states, axis=1)
-    else:
-        concat_states = _gcn_trunk(params["convs"], batch, emask,
-                                   cfg.num_features)
-
     B = batch.num_graphs
-    pooled = global_sort_pool(concat_states, batch.node2graph,
-                              batch.node_mask, B, cfg.k)  # [B, k*D]
+    if isinstance(batch, DenseBatch):
+        # Dense-blocked trunk + per-slot SortPooling (ops/sort_pool.py
+        # dense_sort_pool) — removes the flat segment path's 19-24x TPU
+        # penalty for the DGCNN family (round-2 VERDICT item 7).
+        if cfg.relational:
+            from .rgcn import rgcn_dense_apply
+
+            mask_f = mask_r = batch.edge_mask
+            if training and cfg.adj_dropout > 0:
+                key, k_edge = jax.random.split(key)
+                mask_f, mask_r = edge_dropout_dense(
+                    k_edge, batch.edge_mask, cfg.adj_dropout,
+                    cfg.force_undirected, training)
+            x = jax.nn.one_hot(batch.node_label, cfg.num_features,
+                               dtype=jnp.float32)
+            x = x * batch.node_mask[..., None].astype(jnp.float32)
+            states = []
+            for conv_params in params["convs"]:
+                x = jnp.tanh(rgcn_dense_apply(
+                    conv_params, x, batch.edge_src, batch.edge_dst,
+                    batch.edge_type, mask_f, mask_r))
+                states.append(x)
+            concat_states = jnp.concatenate(states, axis=-1)
+        else:
+            concat_states, key = _gcn_trunk_dense(params["convs"], batch,
+                                                  cfg, key, training)
+        pooled = dense_sort_pool(concat_states, batch.node_mask, cfg.k)
+    else:
+        N = batch.node_label.shape[0]
+        emask = batch.edge_mask
+        if training and cfg.adj_dropout > 0:
+            key, k_edge = jax.random.split(key)
+            emask = edge_dropout(k_edge, emask, batch.edge_canon,
+                                 cfg.adj_dropout, cfg.force_undirected,
+                                 training)
+
+        if cfg.relational:
+            x = jax.nn.one_hot(batch.node_label, cfg.num_features,
+                               dtype=jnp.float32)
+            x = x * batch.node_mask[:, None].astype(jnp.float32)
+            states = []
+            for conv_params in params["convs"]:
+                x = jnp.tanh(
+                    rgcn_apply(conv_params, x, batch.edge_src, batch.edge_dst,
+                               batch.edge_type, emask, N)
+                )
+                states.append(x)
+            concat_states = jnp.concatenate(states, axis=1)
+        else:
+            concat_states = _gcn_trunk(params["convs"], batch, emask,
+                                       cfg.num_features)
+
+        pooled = global_sort_pool(concat_states, batch.node2graph,
+                                  batch.node_mask, B, cfg.k)  # [B, k*D]
     D = cfg.total_latent_dim
 
     # Conv1d(1, C1, kernel=D, stride=D) == per-slot linear over D channels.

@@ -297,6 +297,36 @@ def gcn_init(key, in_channels: int, out_channels: int):
     }
 
 
+def gcn_dense_apply(params, x, edge_src, edge_dst, mask_f, mask_r,
+                    node_mask):
+    """GCN layer over DENSE-BLOCKED batches ([B, n, C] slots, forward-only
+    [B, E] edges applied in both directions): same math as gcn_apply —
+    self-loops + symmetric D^-1/2 (A+I) D^-1/2 — with the gather/scatter
+    as batched one-hot matmuls, mirroring rgcn_dense_apply. Powers the
+    dense layout for the GNN / DGCNN model family
+    (/root/reference/models.py:13-120)."""
+    B, n, _ = x.shape
+    h = x @ params["weight"]
+    cd = h.dtype
+    mf = mask_f.astype(cd)
+    mr = mask_r.astype(cd)
+    nm = node_mask.astype(cd)
+    src_oh = jax.nn.one_hot(edge_src, n, dtype=cd)   # [B, E, n]
+    dst_oh = jax.nn.one_hot(edge_dst, n, dtype=cd)
+    deg = (jnp.einsum("be,bei->bi", mf, dst_oh)
+           + jnp.einsum("be,bei->bi", mr, src_oh)) + nm
+    dinv = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+    dsrc = jnp.einsum("bei,bi->be", src_oh, dinv)
+    ddst = jnp.einsum("bei,bi->be", dst_oh, dinv)
+    coef = dsrc * ddst
+    hs = jnp.einsum("bei,bic->bec", src_oh, h)       # h[src]
+    hd = jnp.einsum("bei,bic->bec", dst_oh, h)       # h[dst]
+    agg = (jnp.einsum("bei,bec->bic", dst_oh, hs * (coef * mf)[..., None])
+           + jnp.einsum("bei,bec->bic", src_oh, hd * (coef * mr)[..., None]))
+    self_loop = h * (dinv * dinv * nm)[..., None]
+    return agg + self_loop + params["bias"]
+
+
 def gcn_apply(params, x, edge_src, edge_dst, edge_mask, node_mask,
               num_nodes: int):
     """GCN with added self-loops and symmetric D^-1/2 (A+I) D^-1/2 norm."""

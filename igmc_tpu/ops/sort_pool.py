@@ -40,3 +40,25 @@ def global_sort_pool(x, node2graph, node_mask, num_graphs: int, k: int):
     same_graph = gid_sorted[idx] == jnp.arange(num_graphs)[:, None]
     pooled = jnp.where(same_graph[:, :, None], pooled, 0.0)
     return pooled.reshape(num_graphs, k * D)
+
+
+def dense_sort_pool(x, node_mask, k: int):
+    """SortPooling over the dense-blocked layout: x [B, n, D] node slots.
+
+    Same semantics as global_sort_pool (PyG global_sort_pool parity): per
+    graph, nodes sorted descending by the last feature channel (stable —
+    ties resolve in node-slot order, matching the flat path's stable
+    lexsort), top k kept, short graphs zero-padded. A per-slot top-k is a
+    batched argsort + take_along_axis — no segment ops.
+    """
+    B, n, D = x.shape
+    keys = jnp.where(node_mask, x[..., -1], -jnp.inf)
+    kk = min(k, n)
+    idx = jnp.argsort(-keys, axis=1, stable=True)[:, :kk]     # [B, kk]
+    pooled = jnp.take_along_axis(x, idx[..., None], axis=1)   # [B, kk, D]
+    valid = jnp.take_along_axis(node_mask, idx, axis=1)
+    pooled = jnp.where(valid[..., None], pooled, 0.0)
+    if kk < k:  # node slot smaller than k: zero-pad the tail rows
+        pooled = jnp.concatenate(
+            [pooled, jnp.zeros((B, k - kk, D), pooled.dtype)], axis=1)
+    return pooled.reshape(B, k * D)

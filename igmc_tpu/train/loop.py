@@ -593,6 +593,7 @@ def train_multiple_epochs(
     mesh=None,
     batch_mode: str = "flat",
     dense_buckets: int = 3,
+    flat_aggregate: Optional[str] = None,
 ):
     """Full training run; returns the final test RMSE.
 
@@ -634,6 +635,16 @@ def train_multiple_epochs(
     # same under a sharded graph axis); the flat DP path still excludes it.
     sb = superbatch if (mesh is None and sharding is None) \
         or (mesh is not None and batch_mode == "dense") else 0
+    # Alternate flat aggregation engines (blocked / pallas) ride host-built
+    # per-batch plans: host-collated loaders only, no stacking.
+    if flat_aggregate in ("segment", "auto"):
+        flat_aggregate = None
+    if flat_aggregate is not None:
+        if batch_mode == "dense":
+            raise ValueError("flat_aggregate applies to batch_mode='flat'")
+        if mesh is not None:
+            raise ValueError("flat_aggregate is a single-device path")
+        sb = 0
 
     # Dense-blocked fast path (batch_mode='dense'): device-resident packed
     # graphs assembled into per-bucket [B, n] slot batches on device.
@@ -704,10 +715,12 @@ def train_multiple_epochs(
         train_loader = BatchLoader(
             train_dataset, batch_size, shuffle=True, seed=seed,
             sharding=sharding, superbatch=sb, n_devices=n_dev,
+            flat_aggregate=flat_aggregate,
         )
         test_loader = BatchLoader(
             test_dataset, batch_size, shuffle=False, sharding=sharding,
             node_ladder=None, edge_ladder=None, superbatch=sb, n_devices=n_dev,
+            flat_aggregate=flat_aggregate,
         )
 
     if mesh is not None and not dense:
@@ -1022,9 +1035,13 @@ def test_once(
     checkpoints=None,
     sharding=None,
     batch_mode: str = "flat",
+    flat_aggregate: Optional[str] = None,
 ):
     """Evaluate once — single params or a prediction-averaged ensemble."""
+    if flat_aggregate in ("segment", "auto"):
+        flat_aggregate = None
     dense = (batch_mode == "dense" and sharding is None
+             and flat_aggregate is None
              and hasattr(test_dataset, "packed"))
     if dense:
         from ..batching.dense import plan_dense_buckets
@@ -1040,7 +1057,9 @@ def test_once(
     else:
         loader = BatchLoader(test_dataset, batch_size, shuffle=False,
                              sharding=sharding,
-                             superbatch=8 if sharding is None else 0)
+                             superbatch=(8 if sharding is None
+                                         and flat_aggregate is None else 0),
+                             flat_aggregate=flat_aggregate)
         eval_fn = make_eval_step(forward)
     t_start = time.perf_counter()
     if ensemble and checkpoints:

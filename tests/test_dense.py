@@ -413,3 +413,67 @@ def test_dense_adjacency_strategy_matches_edge():
                         aggr="relmean", dense_strategy="auto")
     out = igmc_forward(params, dense, cfg_rm, key=None)  # edge fallback
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("model", ["gnn", "dgcnn", "dgcnn_rs"])
+def test_dense_alternate_models_match_flat(model):
+    """GNN / DGCNN / DGCNN_RS on the dense-blocked layout match the flat
+    segment path on identical graphs (round-2 VERDICT item 7: the
+    alternate-model family no longer rides the 19-24x slower flat path)."""
+    from igmc_tpu.models import (DGCNNConfig, GNNConfig, dgcnn_forward,
+                                 dgcnn_init, gnn_forward, gnn_init)
+
+    rng = np.random.default_rng(3)
+    _, flat, dense = make_pair(rng, n_graphs=7)
+    if model == "gnn":
+        cfg = GNNConfig(adj_dropout=0.0)
+        params = gnn_init(jax.random.PRNGKey(0), cfg)
+        out_flat = gnn_forward(params, flat, cfg, training=False)
+        out_dense = gnn_forward(params, dense, cfg, training=False)
+    else:
+        cfg = DGCNNConfig(adj_dropout=0.0, k=10,
+                          relational=(model == "dgcnn_rs"))
+        params = dgcnn_init(jax.random.PRNGKey(0), cfg)
+        out_flat = dgcnn_forward(params, flat, cfg, training=False)
+        out_dense = dgcnn_forward(params, dense, cfg, training=False)
+    B = 7
+    np.testing.assert_allclose(np.asarray(out_flat)[:B],
+                               np.asarray(out_dense)[:B],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_dense_sort_pool_k_exceeds_slot():
+    """k larger than the node slot: tail rows must be zero-padded."""
+    from igmc_tpu.ops.sort_pool import dense_sort_pool
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((3, 4, 2)),
+                    jnp.float32)
+    mask = jnp.ones((3, 4), bool)
+    out = dense_sort_pool(x, mask, k=6)
+    assert out.shape == (3, 12)
+    assert np.all(np.asarray(out)[:, 8:] == 0.0)
+
+
+def test_dense_dgcnn_trains():
+    """Dense DGCNN_RS end-to-end training step decreases loss (the dense
+    device-resident loop is model-agnostic; this guards the trunk+pool
+    backward)."""
+    from igmc_tpu.models import DGCNNConfig, dgcnn_forward, dgcnn_init
+    from igmc_tpu.train.loop import make_optimizer, make_train_step
+
+    rng = np.random.default_rng(4)
+    _, _, dense = make_pair(rng, n_graphs=8)
+    cfg = DGCNNConfig(adj_dropout=0.2, k=10, relational=True)
+    params = dgcnn_init(jax.random.PRNGKey(0), cfg)
+    fwd = lambda p, b, key=None, training=False: dgcnn_forward(
+        p, b, cfg, key, training)
+    opt = make_optimizer(1e-2)
+    step = make_train_step(fwd, opt, ARR=0.0, with_arr_params=False)
+    s = opt.init(params)
+    dense = jax.device_put(dense)
+    losses = []
+    for i in range(8):
+        params, s, loss, _ = step(params, s, dense, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
