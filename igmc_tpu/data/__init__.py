@@ -6,6 +6,7 @@ from .splits import (
     SplitData,
 )
 from .loaders import load_data, map_data, download_dataset, raw_data_dir
+from .synthetic import synthesize_ratings, write_ml1m_format
 
 __all__ = [
     "load_matlab_file",
@@ -17,4 +18,6 @@ __all__ = [
     "map_data",
     "download_dataset",
     "raw_data_dir",
+    "synthesize_ratings",
+    "write_ml1m_format",
 ]

@@ -1,0 +1,96 @@
+"""Deterministic synthetic MovieLens generators (real file schema).
+
+MovieLens downloads need network egress (data/loaders.py download_dataset);
+environments without it still need end-to-end proof that the FULL ml_1m
+pipeline — ratings.dat/movies.dat/users.dat parsing, CF-NADE shuffle,
+random split with pickle cache, side features, dynamic extraction,
+training — runs at scale. `write_ml1m_format` emits files byte-compatible
+with the ml_1m schema the loader parses (/root/reference/data_utils.py
+ml_1m branch): `::`-separated ratings with timestamps, genre-pipe movies,
+categorical users.
+
+Ratings carry a planted low-rank signal (user bias + item quality +
+noise), so a model that learns drives RMSE measurably below the marginal
+std — loss decrease on this data is evidence of learning, not of fitting
+noise. Point `IGMC_RAW_DATA` at the output root (the directory CONTAINING
+ml_1m/) and run the ordinary CLI.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_GENRES = [
+    "Action", "Adventure", "Animation", "Children's", "Comedy", "Crime",
+    "Documentary", "Drama", "Fantasy", "Film-Noir", "Horror", "Musical",
+    "Mystery", "Romance", "Sci-Fi", "Thriller", "War", "Western",
+]
+_AGES = [1, 18, 25, 35, 45, 50, 56]
+
+
+def synthesize_ratings(n_users: int, n_movies: int, n_ratings: int,
+                       seed: int = 0):
+    """(u, m, r) arrays: power-law item popularity, lognormal user
+    activity, ratings = clip(round(3 + quality_m + bias_u + noise), 1, 5).
+    Pairs are unique per user."""
+    rng = np.random.default_rng(seed)
+    # item popularity ~ zipf-ish
+    w = 1.0 / np.arange(1, n_movies + 1) ** 0.8
+    w = rng.permutation(w)
+    w /= w.sum()
+    # user activity: lognormal, floor 5, scaled to the requested total
+    act = np.exp(rng.normal(0.0, 1.0, n_users))
+    act = np.maximum(5, act / act.sum() * n_ratings).astype(np.int64)
+    act = np.minimum(act, n_movies)
+    # planted signal
+    quality = rng.normal(0.0, 0.9, n_movies)
+    bias = rng.normal(0.0, 0.4, n_users)
+
+    us, ms = [], []
+    for u in range(n_users):
+        k = int(act[u])
+        m = rng.choice(n_movies, size=k, replace=False, p=w)
+        us.append(np.full(k, u, np.int64))
+        ms.append(m.astype(np.int64))
+    u = np.concatenate(us)
+    m = np.concatenate(ms)
+    noise = rng.normal(0.0, 0.7, len(u))
+    r = np.clip(np.rint(3.0 + quality[m] + bias[u] + noise), 1, 5
+                ).astype(np.int64)
+    return u, m, r
+
+
+def write_ml1m_format(out_root: str, n_users: int = 6040,
+                      n_movies: int = 3952, n_ratings: int = 1_000_209,
+                      seed: int = 0) -> str:
+    """Write ml_1m/{ratings,movies,users}.dat under `out_root`; returns the
+    dataset dir. Deterministic in (sizes, seed)."""
+    data_dir = os.path.join(out_root, "ml_1m")
+    os.makedirs(data_dir, exist_ok=True)
+    rng = np.random.default_rng(seed + 1)
+    u, m, r = synthesize_ratings(n_users, n_movies, n_ratings, seed)
+
+    ts = rng.integers(956_700_000, 1_046_400_000, len(u))
+    with open(os.path.join(data_dir, "ratings.dat"), "w") as f:
+        f.writelines(f"{uu + 1}::{mm + 1}::{rr}::{tt}\n"
+                     for uu, mm, rr, tt in zip(u, m, r, ts))
+
+    with open(os.path.join(data_dir, "movies.dat"), "w",
+              encoding="latin-1") as f:
+        for mm in range(n_movies):
+            k = int(rng.integers(1, 4))
+            gs = rng.choice(len(_GENRES), size=k, replace=False)
+            genre = "|".join(_GENRES[g] for g in sorted(gs))
+            f.write(f"{mm + 1}::Synthetic Movie {mm + 1} (199"
+                    f"{mm % 10})::{genre}\n")
+
+    with open(os.path.join(data_dir, "users.dat"), "w") as f:
+        for uu in range(n_users):
+            gender = "MF"[int(rng.integers(0, 2))]
+            age = _AGES[int(rng.integers(0, len(_AGES)))]
+            occ = int(rng.integers(0, 21))
+            zipc = f"{int(rng.integers(0, 100000)):05d}"
+            f.write(f"{uu + 1}::{gender}::{age}::{occ}::{zipc}\n")
+    return data_dir
