@@ -5,7 +5,8 @@ from .ep import (EPBatch, EPCaps, partition_batch, pad_ep_batch,
                  make_ep_forward, make_ep_train_step, make_ep_eval_step,
                  ep_train_epoch, ep_eval_sums, ep_predict_all)
 from .multihost import (process_shard_indices, Subset,
-                        global_batch_from_local, capacity_ladders)
+                        global_batch_from_local, capacity_ladders,
+                        dynamic_capacity_ladders)
 
 __all__ = [
     "make_mesh", "batch_sharding", "replicated_sharding",
@@ -16,5 +17,5 @@ __all__ = [
     "make_ep_forward", "make_ep_train_step", "make_ep_eval_step",
     "ep_train_epoch", "ep_eval_sums", "ep_predict_all",
     "process_shard_indices", "Subset", "global_batch_from_local",
-    "capacity_ladders",
+    "capacity_ladders", "dynamic_capacity_ladders",
 ]

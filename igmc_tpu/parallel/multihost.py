@@ -77,6 +77,31 @@ def capacity_ladders(dataset, batch_graphs: int):
     return [n_pad], [e_pad]
 
 
+def dynamic_capacity_ladders(dataset, batch_graphs: int, sample: int = 64,
+                             margin: float = 1.0):
+    """Identical-on-every-host pad ladders for DYNAMIC datasets.
+
+    Dynamic datasets have no precomputed counts, and BatchLoader's local
+    sampling estimate could diverge between hosts mid-run (its overflow
+    extension mints new shapes per host — a multi-host deadlock). This
+    helper derives ONE conservative (node_pad, edge_pad) bound that every
+    host computes identically: extract a deterministic index sample
+    (linspace over the FULL dataset — extraction is deterministic in the
+    dataset index), take max-per-graph counts x batch_graphs x margin.
+    That bound can only be beaten by a graph LARGER than every sampled
+    one; margin > 1 buys headroom against that tail. Single-entry ladders:
+    one compiled program per direction.
+    """
+    n = len(dataset)
+    idx = np.linspace(0, n - 1, num=min(sample, n), dtype=np.int64)
+    graphs = (dataset.get_many(idx) if hasattr(dataset, "get_many")
+              else [dataset.get(int(i)) for i in idx])
+    max_n = max(g.num_nodes for g in graphs)
+    max_e = max(g.num_edges for g in graphs)
+    pad = lambda v: int(-(-v * margin // 8) * 8)
+    return [pad(max_n * batch_graphs)], [pad(max_e * batch_graphs)]
+
+
 class Subset:
     """Index-remapped view of a dataset (works for static and dynamic).
 
