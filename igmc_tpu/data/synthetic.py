@@ -29,6 +29,13 @@ _GENRES = [
 ]
 _AGES = [1, 18, 25, 35, 45, 50, 56]
 
+_OCCUPATIONS_100K = [
+    "administrator", "artist", "doctor", "educator", "engineer",
+    "entertainment", "executive", "healthcare", "homemaker", "lawyer",
+    "librarian", "marketing", "none", "other", "programmer", "retired",
+    "salesman", "scientist", "student", "technician", "writer",
+]
+
 
 def synthesize_ratings(n_users: int, n_movies: int, n_ratings: int,
                        seed: int = 0):
@@ -93,4 +100,49 @@ def write_ml1m_format(out_root: str, n_users: int = 6040,
             occ = int(rng.integers(0, 21))
             zipc = f"{int(rng.integers(0, 100000)):05d}"
             f.write(f"{uu + 1}::{gender}::{age}::{occ}::{zipc}\n")
+    return data_dir
+
+
+def write_ml100k_format(out_root: str, n_users: int = 943,
+                        n_movies: int = 1682, n_ratings: int = 100_000,
+                        seed: int = 0) -> str:
+    """Write ml_100k/{u.data,u1.base,u1.test,u.item,u.user} under
+    `out_root` in the real tab/pipe schema the loaders parse
+    (data/loaders.py ml_100k branch, data/splits.py official split).
+    u1.base/u1.test is the official-style 80/20 carve of u.data.
+    Deterministic in (sizes, seed)."""
+    data_dir = os.path.join(out_root, "ml_100k")
+    os.makedirs(data_dir, exist_ok=True)
+    rng = np.random.default_rng(seed + 2)
+    u, m, r = synthesize_ratings(n_users, n_movies, n_ratings, seed)
+    ts = rng.integers(874_700_000, 893_300_000, len(u))
+
+    lines = [f"{uu + 1}\t{mm + 1}\t{rr}\t{tt}\n"
+             for uu, mm, rr, tt in zip(u, m, r, ts)]
+    order = rng.permutation(len(lines))
+    n_base = int(len(lines) * 0.8)
+    with open(os.path.join(data_dir, "u.data"), "w") as f:
+        f.writelines(lines)
+    with open(os.path.join(data_dir, "u1.base"), "w") as f:
+        f.writelines(lines[i] for i in order[:n_base])
+    with open(os.path.join(data_dir, "u1.test"), "w") as f:
+        f.writelines(lines[i] for i in order[n_base:])
+
+    with open(os.path.join(data_dir, "u.item"), "w",
+              encoding="latin-1") as f:
+        for mm in range(n_movies):
+            flags = np.zeros(19, np.int64)
+            flags[rng.integers(0, 19, rng.integers(1, 3))] = 1
+            f.write(f"{mm + 1}|Synthetic Movie {mm + 1} (1995)|"
+                    f"01-Jan-1995||http://example.com|"
+                    + "|".join(map(str, flags)) + "\n")
+
+    with open(os.path.join(data_dir, "u.user"), "w") as f:
+        for uu in range(n_users):
+            age = int(rng.integers(18, 70))
+            gender = "MF"[int(rng.integers(0, 2))]
+            occ = _OCCUPATIONS_100K[int(rng.integers(
+                0, len(_OCCUPATIONS_100K)))]
+            zipc = f"{int(rng.integers(0, 100000)):05d}"
+            f.write(f"{uu + 1}|{age}|{gender}|{occ}|{zipc}\n")
     return data_dir
