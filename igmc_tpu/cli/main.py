@@ -95,6 +95,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "RMSE (see PARITY.md)")
     p.add_argument("--n-devices", type=int, default=0,
                    help="data-parallel devices (0 = single device)")
+    p.add_argument("--ep-local-aggregate", default="segment",
+                   choices=["segment", "blocked"],
+                   help="per-chip aggregation engine under --parallel ep: "
+                        "'blocked' replaces the local segment scatters "
+                        "with the scatter-free blocked engine "
+                        "(ops/blocked.py) — for HBM-resident per-chip "
+                        "edge loads")
     p.add_argument("--parallel", default="auto",
                    choices=["auto", "dp", "ep"],
                    help="multi-device strategy with --n-devices > 1: 'dp' "
@@ -389,6 +396,7 @@ def main(argv=None):
                 logger=logger, continue_from=args.continue_from,
                 res_dir=res.path, seed=args.seed,
                 profile_dir=args.profile_dir or None,
+                local_aggregate=args.ep_local_aggregate,
             )
         ckpt_dir = args.transfer if args.transfer else res.path
         model_pos = resolve_checkpoint(ckpt_dir, "model", args.epochs)

@@ -68,23 +68,29 @@ class BlockedPlan(NamedTuple):
 class BlockedEdges:
     """Forward (dst-major) + backward (src-major) plans for one edge list.
 
-    Registered as a pytree with (rows, num_nodes, group) as STATIC aux so a
-    BlockedEdges can ride inside a jitted batch (GraphBatch.blocked) while
-    the shape-determining ints stay Python ints under tracing.
+    Registered as a pytree with (rows, num_nodes, group, num_gather) as
+    STATIC aux so a BlockedEdges can ride inside a jitted batch
+    (GraphBatch.blocked) while the shape-determining ints stay Python ints
+    under tracing. `num_gather` is the row count of the table features are
+    gathered FROM; it defaults to num_nodes (square case) but differs for
+    rectangular aggregations like the EP boundary group, where messages
+    gather from the halo receive table but aggregate into local node rows.
     """
 
     def __init__(self, fwd: BlockedPlan, bwd: BlockedPlan, rows: int,
-                 num_nodes: int, group: int = 8):
+                 num_nodes: int, group: int = 8,
+                 num_gather: Optional[int] = None):
         self.fwd = fwd
         self.bwd = bwd
         self.rows = rows
         self.num_nodes = num_nodes
         self.group = group
+        self.num_gather = num_nodes if num_gather is None else num_gather
 
 
 jax.tree_util.register_pytree_node(
     BlockedEdges,
-    lambda b: ((b.fwd, b.bwd), (b.rows, b.num_nodes, b.group)),
+    lambda b: ((b.fwd, b.bwd), (b.rows, b.num_nodes, b.group, b.num_gather)),
     lambda aux, ch: BlockedEdges(ch[0], ch[1], *aux),
 )
 
@@ -277,8 +283,13 @@ def _bwd_scan(x, att, basis, g, plan: BlockedPlan, mask, rows: int,
             "geb,gei,geo->bio", ae, xs, um)
         return (datt_acc, dbasis_acc), part
 
-    carry0 = (jnp.zeros((R, nb), jnp.float32),
-              jnp.zeros((nb, cin, cout), jnp.float32))
+    # Seed the accumulators with a zero DERIVED from the cotangent: under
+    # shard_map the body's outputs are varying over the mesh axis, and a
+    # plain jnp.zeros carry (unvarying) would fail scan's carry typing;
+    # outside shard_map the +0 is a no-op.
+    v0 = g.ravel()[0] * 0.0
+    carry0 = (jnp.zeros((R, nb), jnp.float32) + v0,
+              jnp.zeros((nb, cin, cout), jnp.float32) + v0)
     (datt, dbasis), parts = jax.lax.scan(
         body, carry0,
         (plan.gather.reshape(shp), plan.row.reshape(shp), row_glob,
@@ -291,32 +302,46 @@ def _bwd_scan(x, att, basis, g, plan: BlockedPlan, mask, rows: int,
     return dx, datt, dbasis
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def blocked_rgcn_aggregate(x, att, basis, blocked: BlockedEdges,
                            masks, rows: int, num_nodes: int,
-                           group: int = 8):
+                           group: int = 8,
+                           num_gather: Optional[int] = None,
+                           axis_name: Optional[str] = None):
     """Masked segment-SUM of basis-mixed messages — scatter-free both ways.
 
-    x [N, Cin]; att [R, nb]; basis [nb, Cin, Cout]; `blocked` from
-    plan_blocked_edges; `masks` = (fwd_mask, bwd_mask) — the plans' static
-    masks, or dropout_masks(...) during training. Returns [num_nodes, Cout]
-    sums (divide by blocked_degree outside for mean). Differentiable in
-    x/att/basis via the src-major plan.
+    x [num_gather (default num_nodes), Cin]; att [R, nb]; basis [nb, Cin,
+    Cout]; `blocked` from plan_blocked_edges; `masks` = (fwd_mask,
+    bwd_mask) — the plans' static masks, or dropout_masks(...) during
+    training. Returns [num_nodes, Cout] sums (divide by blocked_degree
+    outside for mean). Differentiable in x/att/basis via the src-major
+    plan (dx spans the gather space).
+
+    `axis_name`: set when called INSIDE shard_map with x varying over that
+    mesh axis but att/basis replicated — the backward then psums the
+    att/basis cotangents over the axis itself (shard_map's replication
+    inference cannot see through a custom_vjp, so the reduction must be
+    explicit; dx stays device-local, as the varying input requires).
     """
     return _fwd_scan(x, att, basis, blocked.fwd, masks[0], rows, num_nodes,
                      group)
 
 
-def _vjp_fwd(x, att, basis, blocked, masks, rows, num_nodes, group):
+def _vjp_fwd(x, att, basis, blocked, masks, rows, num_nodes, group,
+             num_gather, axis_name):
     out = blocked_rgcn_aggregate(x, att, basis, blocked, masks, rows,
-                                 num_nodes, group)
+                                 num_nodes, group, num_gather, axis_name)
     return out, (x, att, basis, blocked, masks)
 
 
-def _vjp_bwd(rows, num_nodes, group, res, g):
+def _vjp_bwd(rows, num_nodes, group, num_gather, axis_name, res, g):
     x, att, basis, blocked, masks = res
+    n_in = num_nodes if num_gather is None else num_gather
     dx, datt, dbasis = _bwd_scan(x, att, basis, g, blocked.bwd, masks[1],
-                                 rows, num_nodes, group)
+                                 rows, n_in, group)
+    if axis_name is not None:
+        datt = jax.lax.psum(datt, axis_name)
+        dbasis = jax.lax.psum(dbasis, axis_name)
     return dx, datt, dbasis, None, None
 
 

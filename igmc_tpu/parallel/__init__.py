@@ -1,6 +1,7 @@
 from .mesh import make_mesh, batch_sharding, replicated_sharding
 from .dp import make_dp_train_step, make_dp_eval_step, stack_batches, split_for_devices
-from .ep import (EPBatch, EPCaps, partition_batch, pad_ep_batch,
+from .ep import (EPBatch, EPCaps, EPBlocked, build_ep_blocked,
+                 partition_batch, pad_ep_batch,
                  build_ep_batches, ep_batch_caps, max_ep_caps,
                  make_ep_forward, make_ep_train_step, make_ep_eval_step,
                  ep_train_epoch, ep_eval_sums, ep_predict_all)
@@ -12,7 +13,8 @@ __all__ = [
     "make_mesh", "batch_sharding", "replicated_sharding",
     "make_dp_train_step", "make_dp_eval_step", "stack_batches",
     "split_for_devices",
-    "EPBatch", "EPCaps", "partition_batch", "pad_ep_batch",
+    "EPBatch", "EPCaps", "EPBlocked", "build_ep_blocked",
+    "partition_batch", "pad_ep_batch",
     "build_ep_batches", "ep_batch_caps", "max_ep_caps",
     "make_ep_forward", "make_ep_train_step", "make_ep_eval_step",
     "ep_train_epoch", "ep_eval_sums", "ep_predict_all",

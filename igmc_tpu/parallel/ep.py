@@ -471,6 +471,101 @@ def comm_stats(ep: EPBatch, feature_width: int = 32,
 
 
 # ---------------------------------------------------------------------------
+# Blocked local aggregation plans (ops/blocked.py engine inside EP)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class EPBlocked:
+    """Per-device blocked aggregation plans for an EPBatch.
+
+    The EP local aggregate is the same segment-sum that collapses at
+    HBM-resident per-chip loads (round-2 VERDICT weak #1); these plans let
+    each chip run it as the scatter-free blocked engine instead
+    (ops/blocked.py — indicator matmuls forward AND backward). Four plans
+    per chip, all with a leading [D] device axis so the whole structure
+    shards over ('data',):
+
+      i_fwd / i_bwd — intra edges (gather space = local nodes [Nl],
+                      aggregate space = local nodes / local nodes);
+      b_fwd / b_bwd — boundary edges (gather space = the [D*P] halo
+                      receive table; aggregate spaces Nl / D*P — the
+                      backward aggregates halo-row gradients, which the
+                      all_to_all transpose then routes home).
+
+    Plan `ukey`s are the EP hash-dropout ids (dropout_key_ids with the
+    GLOBAL dst mixed in), so blocked and segment EP make IDENTICAL
+    per-edge dropout decisions for the same seed.
+    """
+
+    i_fwd: object
+    i_bwd: object
+    b_fwd: object
+    b_bwd: object
+    rows: int
+    group: int
+    Nl: int
+    halo_rows: int
+
+
+jax.tree_util.register_pytree_node(
+    EPBlocked,
+    lambda p: ((p.i_fwd, p.i_bwd, p.b_fwd, p.b_bwd),
+               (p.rows, p.group, p.Nl, p.halo_rows)),
+    lambda aux, ch: EPBlocked(*ch, *aux),
+)
+
+
+def build_ep_blocked(ep: EPBatch, rows: int = 128, eblk: int = 512,
+                     group: int = 8, device_put: bool = True) -> EPBlocked:
+    """Blocked plans for every chip of an EPBatch, capacity-sized so every
+    batch built under the same EPCaps shares one compiled shape."""
+    from ..ops.blocked import _plan_one, plan_capacity_blocks
+
+    D = ep.num_devices
+    Nl = ep.node_label.shape[1]
+    Pcap = ep.send_idx.shape[2]
+    halo_rows = D * Pcap
+    Ei = ep.intra_src.shape[1]
+    Eb = ep.bnd_src.shape[1]
+    # host views (EPBatch may already be device-resident)
+    isrc, idst, ityp, ipair, imask = (np.asarray(a) for a in (
+        ep.intra_src, ep.intra_dst, ep.intra_type, ep.intra_pair,
+        ep.intra_mask))
+    bsrc, bdst, btyp, bpair, bmask = (np.asarray(a) for a in (
+        ep.bnd_src, ep.bnd_dst, ep.bnd_type, ep.bnd_pair, ep.bnd_mask))
+
+    nb_i = plan_capacity_blocks(Nl, Ei, rows, eblk)
+    nb_bf = plan_capacity_blocks(Nl, Eb, rows, eblk)
+    nb_bb = plan_capacity_blocks(halo_rows, Eb, rows, eblk)
+
+    def per_device(d):
+        gdst_i = (d * Nl + idst[d]).astype(np.int64)
+        gdst_b = (d * Nl + bdst[d]).astype(np.int64)
+        uk_i = (ipair[d].astype(np.uint32) * np.uint32(0x9E3779B1)
+                + gdst_i.astype(np.uint32)).astype(np.int32)
+        uk_b = (bpair[d].astype(np.uint32) * np.uint32(0x9E3779B1)
+                + gdst_b.astype(np.uint32)).astype(np.int32)
+        i_fwd = _plan_one(idst[d], isrc[d], ityp[d], ipair[d], uk_i,
+                          imask[d], Nl, rows, eblk, group, nb_i)
+        i_bwd = _plan_one(isrc[d], idst[d], ityp[d], ipair[d], uk_i,
+                          imask[d], Nl, rows, eblk, group, nb_i)
+        b_fwd = _plan_one(bdst[d], bsrc[d], btyp[d], bpair[d], uk_b,
+                          bmask[d], Nl, rows, eblk, group, nb_bf)
+        b_bwd = _plan_one(bsrc[d], bdst[d], btyp[d], bpair[d], uk_b,
+                          bmask[d], halo_rows, rows, eblk, group, nb_bb)
+        return i_fwd, i_bwd, b_fwd, b_bwd
+
+    per_d = [per_device(d) for d in range(D)]
+    stack = lambda i: jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs), *(p[i] for p in per_d))
+    plans = EPBlocked(stack(0), stack(1), stack(2), stack(3),
+                      rows, group, Nl, halo_rows)
+    if device_put:
+        plans = jax.tree_util.tree_map(jax.device_put, plans)
+    return plans
+
+
+# ---------------------------------------------------------------------------
 # Stateless hash dropout (communication-free force_undirected)
 # ---------------------------------------------------------------------------
 
@@ -561,9 +656,60 @@ def make_ep_forward(cfg: IGMCConfig, mesh: Mesh):
                 f"EP path supports aggr mean/sum/relmean, not {cfg_aggr}")
         return s
 
+    def _blocked_trunk(params, x, send_idx, plans, seed, training):
+        """R-GCN trunk with the scatter-free blocked local aggregate
+        (ops/blocked.py): intra edges gather from local x, boundary edges
+        from the per-layer halo table; the custom_vjp backward aggregates
+        halo-row gradients over the src-major plan, and the all_to_all
+        transpose routes them to their owners."""
+        from ..ops.blocked import (BlockedEdges, BlockedPlan,
+                                   blocked_degree, blocked_rgcn_aggregate)
+
+        if cfg.aggr not in ("mean", "sum"):
+            raise NotImplementedError(
+                f"blocked EP aggregation supports mean/sum, not {cfg.aggr}")
+        loc = lambda plan: BlockedPlan(*(a[0] for a in plan))
+        i_fwd, i_bwd = loc(plans.i_fwd), loc(plans.i_bwd)
+        b_fwd, b_bwd = loc(plans.b_fwd), loc(plans.b_bwd)
+        rows, group = plans.rows, plans.group
+        Nl, halo_rows = plans.Nl, plans.halo_rows
+        intra = BlockedEdges(i_fwd, i_bwd, rows, Nl, group)
+        bnd = BlockedEdges(b_fwd, b_bwd, rows, Nl, group,
+                           num_gather=halo_rows)
+
+        def keep(plan):
+            if not (training and cfg.adj_dropout > 0):
+                return plan.mask
+            ids = plan.pair if cfg.force_undirected else plan.ukey
+            return plan.mask * hash_edge_keep(
+                seed, ids, cfg.adj_dropout).astype(plan.mask.dtype)
+
+        masks_i = (keep(i_fwd), keep(i_bwd))
+        masks_b = (keep(b_fwd), keep(b_bwd))
+        inv_deg = None
+        if cfg.aggr == "mean":
+            deg = (blocked_degree(i_fwd, masks_i[0], rows, Nl)
+                   + blocked_degree(b_fwd, masks_b[0], rows, Nl))
+            inv_deg = (1.0 / jnp.maximum(deg, 1.0))[:, None]
+
+        states = []
+        for conv in params["convs"]:
+            halo = halo_exchange(x, send_idx)            # [D*P, Cin]
+            s = (blocked_rgcn_aggregate(x, conv["att"], conv["basis"],
+                                        intra, masks_i, rows, Nl, group,
+                                        None, "data")
+                 + blocked_rgcn_aggregate(halo, conv["att"], conv["basis"],
+                                          bnd, masks_b, rows, Nl, group,
+                                          halo_rows, "data"))
+            if cfg.aggr == "mean":
+                s = s * inv_deg
+            x = jnp.tanh(s + x @ conv["root"] + conv["bias"])
+            states.append(x)
+        return x, states
+
     def local_forward(params, nl, nmask, isrc, idst, itype, ipair, imask,
                       bsrc, bdst, btype, bpair, bmask, send_idx, tgt_send_idx,
-                      tu, tv, uf, vf, seed, training):
+                      tu, tv, uf, vf, seed, plans, training):
         # strip the leading local device axis (size 1 inside shard_map)
         nl, nmask = nl[0], nmask[0]
         isrc, idst, itype, ipair, imask = (
@@ -587,19 +733,24 @@ def make_ep_forward(cfg: IGMCConfig, mesh: Mesh):
         imf = im.astype(jnp.float32)
         bmf = bm.astype(jnp.float32)
 
-        R = cfg.num_relations
-        states = []
-        for conv in params["convs"]:
-            # Launch the boundary-row exchange FIRST; the intra messages
-            # below have no data dependency on it and overlap it.
-            halo = halo_exchange(x, send_idx)            # [D*P, Cin]
-            msg_i = message(conv, x[isrc], conv["att"][itype])
-            msg_b = message(conv, halo[bsrc], conv["att"][btype])
-            Cout = conv["basis"].shape[2]
-            s = aggregate(cfg.aggr, R, Nl, Cout,
-                          msg_i, idst, itype, imf, msg_b, bdst, btype, bmf)
-            x = jnp.tanh(s + x @ conv["root"] + conv["bias"])
-            states.append(x)
+        if plans is not None:
+            x, states = _blocked_trunk(params, x, send_idx, plans, seed,
+                                       training)
+        else:
+            R = cfg.num_relations
+            states = []
+            for conv in params["convs"]:
+                # Launch the boundary-row exchange FIRST; the intra
+                # messages below have no data dependency on it and
+                # overlap it.
+                halo = halo_exchange(x, send_idx)        # [D*P, Cin]
+                msg_i = message(conv, x[isrc], conv["att"][itype])
+                msg_b = message(conv, halo[bsrc], conv["att"][btype])
+                Cout = conv["basis"].shape[2]
+                s = aggregate(cfg.aggr, R, Nl, Cout, msg_i, idst, itype,
+                              imf, msg_b, bdst, btype, bmf)
+                x = jnp.tanh(s + x @ conv["root"] + conv["bias"])
+                states.append(x)
         cs = jnp.concatenate(states, axis=1)             # [Nl, sum(latent)]
         tgt_halo = halo_exchange(cs, tgt_send_idx)       # [D*Pt, sum(latent)]
         table = jnp.concatenate([cs, tgt_halo], axis=0)  # [Nl + D*Pt, sum]
@@ -615,7 +766,8 @@ def make_ep_forward(cfg: IGMCConfig, mesh: Mesh):
         out = linear_apply(params["lin2"], h)[:, 0] * cfg.multiply_by
         return out[None]                                 # [1, Bl]
 
-    def forward(params, ep: EPBatch, seed, training: bool = False):
+    def forward(params, ep: EPBatch, seed, training: bool = False,
+                plans: Optional[EPBlocked] = None):
         uf = ep.u_feat if ep.u_feat is not None else jnp.zeros(
             (ep.num_devices, ep.y.shape[1], 0), jnp.float32)
         vf = ep.v_feat if ep.v_feat is not None else jnp.zeros(
@@ -624,7 +776,8 @@ def make_ep_forward(cfg: IGMCConfig, mesh: Mesh):
             partial(local_forward, training=training),
             mesh=mesh,
             in_specs=(P(), Pd, Pd, Pd, Pd, Pd, Pd, Pd,
-                      Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pd, P()),
+                      Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pd, Pd, P(),
+                      P() if plans is None else Pd),
             out_specs=Pd,
         )
         return f(params, ep.node_label, ep.node_mask,
@@ -633,7 +786,7 @@ def make_ep_forward(cfg: IGMCConfig, mesh: Mesh):
                  ep.bnd_src, ep.bnd_dst, ep.bnd_type, ep.bnd_pair,
                  ep.bnd_mask,
                  ep.send_idx, ep.tgt_send_idx,
-                 ep.target_u, ep.target_v, uf, vf, seed)  # [D, Bl]
+                 ep.target_u, ep.target_v, uf, vf, seed, plans)  # [D, Bl]
 
     return forward
 
@@ -647,8 +800,8 @@ def make_ep_train_step(cfg: IGMCConfig, optimizer, ARR: float, mesh: Mesh):
     rep = NamedSharding(mesh, P())
     shd = NamedSharding(mesh, P("data"))
 
-    def loss_fn(params, ep: EPBatch, seed):
-        preds = fwd(params, ep, seed, training=True)        # [D, Bl]
+    def loss_fn(params, ep: EPBatch, seed, plans):
+        preds = fwd(params, ep, seed, training=True, plans=plans)  # [D, Bl]
         gmask = ep.graph_mask.astype(jnp.float32)
         n = jnp.maximum(gmask.sum(), 1.0)
         loss = jnp.sum(((preds - ep.y) ** 2) * gmask) / n
@@ -657,9 +810,9 @@ def make_ep_train_step(cfg: IGMCConfig, optimizer, ARR: float, mesh: Mesh):
         return loss, n
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, ep, seed):
+    def step(params, opt_state, ep, seed, plans=None):
         (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, ep, seed)
+            params, ep, seed, plans)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, n
@@ -671,8 +824,8 @@ def make_ep_eval_step(cfg: IGMCConfig, mesh: Mesh):
     fwd = make_ep_forward(cfg, mesh)
 
     @jax.jit
-    def step(params, ep: EPBatch):
-        preds = fwd(params, ep, jnp.uint32(0), training=False)
+    def step(params, ep: EPBatch, plans=None):
+        preds = fwd(params, ep, jnp.uint32(0), training=False, plans=plans)
         gmask = ep.graph_mask.astype(jnp.float32)
         sse = jnp.sum(((preds - ep.y) ** 2) * gmask)
         return sse, gmask.sum(), preds
@@ -692,29 +845,33 @@ def ep_step_seed(seed: int, epoch: int, step: int) -> jnp.ndarray:
 
 
 def ep_train_epoch(step_fn, state, eps: Sequence[EPBatch], seed: int,
-                   epoch: int, rng: Optional[np.random.Generator] = None):
+                   epoch: int, rng: Optional[np.random.Generator] = None,
+                   plans: Optional[Sequence[EPBlocked]] = None):
     """One epoch over the EP batches; returns the DEVICE scalar sum(loss*n)
     (None if empty). Same no-host-sync discipline as the dense epochs
     (train/loop.py): batch membership is fixed (build_ep_batches), the rng
-    permutes only the visit order."""
+    permutes only the visit order. `plans` (build_ep_blocked per batch)
+    switches the local aggregate to the blocked engine."""
     order = (rng.permutation(len(eps)) if rng is not None
              else np.arange(len(eps)))
     params, opt_state = state.params, state.opt_state
     total = None
     for j, bi in enumerate(order):
         params, opt_state, loss, n = step_fn(
-            params, opt_state, eps[bi], ep_step_seed(seed, epoch, j))
+            params, opt_state, eps[bi], ep_step_seed(seed, epoch, j),
+            plans[bi] if plans is not None else None)
         contrib = loss * n
         total = contrib if total is None else total + contrib
     state.params, state.opt_state = params, opt_state
     return total
 
 
-def ep_eval_sums(eval_fn, params, eps: Sequence[EPBatch]):
+def ep_eval_sums(eval_fn, params, eps: Sequence[EPBatch], plans=None):
     """(sse, cnt) DEVICE scalars over all EP batches — no host syncs."""
     sse = cnt = None
-    for ep in eps:
-        s, c, _ = eval_fn(params, ep)
+    for i, ep in enumerate(eps):
+        s, c, _ = eval_fn(params, ep, plans[i] if plans is not None
+                          else None)
         sse = s if sse is None else sse + s
         cnt = c if cnt is None else cnt + c
     if sse is None:
@@ -723,11 +880,12 @@ def ep_eval_sums(eval_fn, params, eps: Sequence[EPBatch]):
 
 
 def ep_predict_all(eval_fn, params, eps: Sequence[EPBatch], gid_chunks,
-                   num_graphs: int) -> np.ndarray:
+                   num_graphs: int, plans=None) -> np.ndarray:
     """Raw predictions in DATASET order (for ensembling): batch i's [D, Bl]
     predictions flatten back to collate order; rows past len(chunk) are
     padding. One bulk device_get."""
-    raw = [eval_fn(params, ep)[2] for ep in eps]
+    raw = [eval_fn(params, ep, plans[i] if plans is not None else None)[2]
+           for i, ep in enumerate(eps)]
     fetched = jax.device_get(raw)
     preds = np.full(num_graphs, np.nan, np.float32)
     for chunk, p in zip(gid_chunks, fetched):

@@ -871,6 +871,7 @@ def train_multiple_epochs_ep(
     seed: int = 1,
     progress: bool = True,
     profile_dir: Optional[str] = None,
+    local_aggregate: str = "segment",
 ):
     """Full training run under EDGE-PARTITIONED model parallelism: every
     batch is ONE giant disjoint batch-graph sharded over the mesh
@@ -886,9 +887,9 @@ def train_multiple_epochs_ep(
     Needs `cfg` (an IGMCConfig) rather than a bare forward: the sharded
     forward is built per-mesh. Returns (final_rmse, state).
     """
-    from ..parallel.ep import (build_ep_batches, ep_eval_sums,
-                               ep_train_epoch, make_ep_eval_step,
-                               make_ep_train_step)
+    from ..parallel.ep import (build_ep_batches, build_ep_blocked,
+                               ep_eval_sums, ep_train_epoch,
+                               make_ep_eval_step, make_ep_train_step)
     from ..parallel.mesh import replicated_sharding
 
     optimizer = make_optimizer(lr, weight_decay)
@@ -902,8 +903,22 @@ def train_multiple_epochs_ep(
     state = TrainState(params=params, opt_state=opt_state)
 
     D = mesh.devices.size
-    eps_train, _ = build_ep_batches(train_dataset, batch_size, D)
-    eps_test, _ = build_ep_batches(test_dataset, batch_size, D)
+    eps_train, _ = build_ep_batches(train_dataset, batch_size, D,
+                                    device_put=False)
+    eps_test, _ = build_ep_batches(test_dataset, batch_size, D,
+                                   device_put=False)
+    plans_train = plans_test = None
+    if local_aggregate == "blocked":
+        # scatter-free per-chip aggregation (ops/blocked.py via EP plans);
+        # plans are built host-side once, like the batches
+        plans_train = [build_ep_blocked(e) for e in eps_train]
+        plans_test = [build_ep_blocked(e) for e in eps_test]
+    elif local_aggregate != "segment":
+        raise ValueError(f"unknown EP local_aggregate {local_aggregate!r}")
+    put = lambda es: [jax.tree_util.tree_map(
+        lambda x: x if x is None else jax.device_put(x), e,
+        is_leaf=lambda x: x is None) for e in es]
+    eps_train, eps_test = put(eps_train), put(eps_test)
     step_fn, _, _ = make_ep_train_step(cfg, optimizer, ARR, mesh)
     eval_fn = make_ep_eval_step(cfg, mesh)
 
@@ -935,12 +950,14 @@ def train_multiple_epochs_ep(
         if profiling:
             jax.profiler.start_trace(profile_dir)
         rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
-        loss_dev = ep_train_epoch(step_fn, state, eps_train, seed, epoch, rng)
+        loss_dev = ep_train_epoch(step_fn, state, eps_train, seed, epoch,
+                                  rng, plans=plans_train)
         if profiling:
             jax.profiler.stop_trace()
             print(f"jax.profiler trace of epoch {epoch} written to "
                   f"{profile_dir}")
-        eval_acc = (ep_eval_sums(eval_fn, state.params, eps_test)
+        eval_acc = (ep_eval_sums(eval_fn, state.params, eps_test,
+                                 plans=plans_test)
                     if epoch % test_freq == 0 else None)
         fetched = jax.device_get((loss_dev, eval_acc))
         train_loss = (float(fetched[0]) / max(len(train_dataset), 1)
@@ -987,14 +1004,22 @@ def test_once_ep(
     logger: Optional[Callable] = None,
     ensemble: bool = False,
     checkpoints=None,
+    local_aggregate: str = "segment",
 ):
     """test_once under EP sharding: single params or prediction-averaged
     ensemble, evaluated over mesh-partitioned giant batches."""
-    from ..parallel.ep import (build_ep_batches, ep_eval_sums,
-                               ep_predict_all, make_ep_eval_step)
+    from ..parallel.ep import (build_ep_batches, build_ep_blocked,
+                               ep_eval_sums, ep_predict_all,
+                               make_ep_eval_step)
 
     D = mesh.devices.size
-    eps, chunks = build_ep_batches(test_dataset, batch_size, D)
+    eps, chunks = build_ep_batches(test_dataset, batch_size, D,
+                                   device_put=False)
+    plans = ([build_ep_blocked(e) for e in eps]
+             if local_aggregate == "blocked" else None)
+    eps = [jax.tree_util.tree_map(
+        lambda x: x if x is None else jax.device_put(x), e,
+        is_leaf=lambda x: x is None) for e in eps]
     eval_fn = make_ep_eval_step(cfg, mesh)
     ys = np.array([test_dataset.get(i).y for i in range(len(test_dataset))],
                   np.float32)
@@ -1004,12 +1029,12 @@ def test_once_ep(
         for ckpt in checkpoints:
             p = load_checkpoint(ckpt, params_template)
             outs.append(ep_predict_all(eval_fn, p, eps, chunks,
-                                       len(test_dataset)))
+                                       len(test_dataset), plans=plans))
         mean_pred = np.stack(outs, axis=1).mean(axis=1)
         rmse = math.sqrt(float(np.mean((mean_pred - ys) ** 2)))
     else:
         p = params if params is not None else params_template
-        acc = ep_eval_sums(eval_fn, p, eps)
+        acc = ep_eval_sums(eval_fn, p, eps, plans=plans)
         if acc is None:
             rmse = 0.0
         else:

@@ -317,3 +317,71 @@ def test_ep_training_loop_decreases_and_resumes(tmp_path):
         train_ds, test_ds, cfg, params, mesh=mesh, continue_from=2,
         res_dir=res.path, **kw)
     assert abs(rmse_resumed - rmse_full) < 1e-6
+
+
+def test_ep_blocked_local_aggregate_matches_segment():
+    """EP with the blocked local aggregate (build_ep_blocked plans) must
+    match the segment EP forward exactly — eval AND training mode (the
+    plans' ukeys reproduce the EP hash-dropout stream bit-for-bit)."""
+    from igmc_tpu.parallel.ep import build_ep_blocked
+
+    batch = make_batch(seed=17)
+    mesh = make_mesh(n_data=8)
+    ep = partition_batch(batch, 8)
+    plans = build_ep_blocked(ep, rows=16, eblk=64, group=2)
+    for aggr in ("mean", "sum"):
+        cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.2,
+                         aggr=aggr)
+        params = igmc_init(jax.random.PRNGKey(6), cfg)
+        fwd = make_ep_forward(cfg, mesh)
+        epd = jax.device_put(ep)
+        for training in (False, True):
+            ref = fwd(params, epd, jnp.uint32(11), training=training)
+            out = fwd(params, epd, jnp.uint32(11), training=training,
+                      plans=plans)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5,
+                err_msg=f"{aggr} training={training}")
+
+
+def test_ep_blocked_train_step_decreases_loss():
+    from igmc_tpu.parallel.ep import build_ep_blocked
+
+    batch = make_batch(seed=19)
+    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.2)
+    params = igmc_init(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(n_data=8)
+    ep = partition_batch(batch, 8)
+    plans = build_ep_blocked(ep, rows=16, eblk=64, group=2)
+    epd = jax.device_put(ep)
+    opt = make_optimizer(1e-2)
+    step, _, _ = make_ep_train_step(cfg, opt, ARR=0.001, mesh=mesh)
+    state = opt.init(params)
+    losses = []
+    for i in range(8):
+        params, state, loss, n = step(params, state, epd, jnp.uint32(i),
+                                      plans)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_ep_blocked_training_loop_cli_equivalent():
+    """train_multiple_epochs_ep(local_aggregate='blocked') runs end-to-end
+    and learns."""
+    from igmc_tpu.train import train_multiple_epochs_ep
+
+    train_ds = _tiny_static_dataset(40, seed=5)
+    test_ds = _tiny_static_dataset(24, seed=6)
+    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.2)
+    params = igmc_init(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(n_data=8)
+    losses = []
+    rmse, _ = train_multiple_epochs_ep(
+        train_ds, test_ds, cfg, params, mesh=mesh, epochs=3,
+        batch_size=16, lr=1e-2, lr_decay_factor=0.1,
+        lr_decay_step_size=50, ARR=0.001, test_freq=1, seed=3,
+        progress=False, local_aggregate="blocked",
+        logger=lambda i, s: losses.append(i["train_loss"]))
+    assert np.isfinite(rmse)
+    assert losses[-1] < losses[0]
