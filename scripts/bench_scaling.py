@@ -82,11 +82,15 @@ def main():
         results["dp"][D] = 4 * args.edges_per_device * D / dt  # 4 layers
 
         # --- EP: one giant batch partitioned across devices ---
+        from igmc_tpu.parallel.ep import build_ep_blocked
+
         ep_step, _, _ = make_ep_train_step(cfg, opt, 0.001, mesh)
         flat = _synthetic_batch(num_graphs=graphs_pd * D,
                                 node_pad=nodes_pd * D,
                                 edge_pad=args.edges_per_device * D)
-        ep = jax.device_put(partition_batch(flat, D))
+        ep_host = partition_batch(flat, D)
+        plans = build_ep_blocked(ep_host)
+        ep = jax.device_put(ep_host)
         p2 = igmc_init(jax.random.PRNGKey(1), cfg)
         s2 = opt.init(p2)
         p2, s2, l2, _ = ep_step(p2, s2, ep, jnp.uint32(0))
@@ -97,6 +101,19 @@ def main():
         jax.block_until_ready(l2)
         dt = (time.perf_counter() - t0) / args.steps
         results["ep"][D] = 4 * args.edges_per_device * D / dt
+
+        # --- EP with the blocked local aggregate (ops/blocked.py) ---
+        p3 = igmc_init(jax.random.PRNGKey(2), cfg)
+        s3 = opt.init(p3)
+        p3, s3, l3, _ = ep_step(p3, s3, ep, jnp.uint32(0), plans)
+        jax.block_until_ready(l3)
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            p3, s3, l3, _ = ep_step(p3, s3, ep, jnp.uint32(i), plans)
+        jax.block_until_ready(l3)
+        dt = (time.perf_counter() - t0) / args.steps
+        results.setdefault("ep_blocked", {})[D] = (
+            4 * args.edges_per_device * D / dt)
         # boundary-halo interconnect bytes vs the full all_gather it replaces
         from igmc_tpu.parallel.ep import comm_stats
 
@@ -105,8 +122,12 @@ def main():
 
     base_dp = results["dp"].get(1)
     base_ep = results["ep"].get(1)
+    base_epb = results.get("ep_blocked", {}).get(1)
     out = {"metric": "weak_scaling_edges_per_sec", "backend": results["backend"]}
-    for mode, base in (("dp", base_dp), ("ep", base_ep)):
+    for mode, base in (("dp", base_dp), ("ep", base_ep),
+                       ("ep_blocked", base_epb)):
+        if mode not in results:
+            continue
         for D, eps in results[mode].items():
             out[f"{mode}_{D}dev_edges_per_sec"] = round(eps, 1)
             if base and D > 1:
