@@ -312,8 +312,6 @@ class BatchLoader:
             raise ValueError(
                 f"batch_size {batch_size} must divide by n_devices {n_devices}"
             )
-        if n_devices > 1:
-            superbatch = 0  # DP batches already carry a leading device axis
         self.n_devices = n_devices
         # Alternate flat aggregation engines need per-batch host plans
         # (ops/blocked.py; kernels block_align_edges), attached to the batch
@@ -490,6 +488,31 @@ class BatchLoader:
                 for gs in graph_lists]
         return stack_batches(subs)
 
+    def _make_superbatch_dp(self, idx_chunks) -> GraphBatch:
+        """K device-stacked batches stacked again on a leading scan axis
+        [K, D, ...] (kind 'superbatch_devices') — one dispatch runs K
+        data-parallel steps (parallel/dp.py make_dp_scan_train_step). All
+        K stacks share ONE (node_pad, edge_pad) so the scan is
+        rectangular."""
+        from ..parallel.dp import split_for_devices, stack_batches
+
+        D = self.n_devices
+        pdg = self.batch_size // D
+        graph_lists = [self._fetch(idxs) for idxs in idx_chunks]
+        need_n = need_e = 1
+        for gs in graph_lists:
+            for d in range(D):
+                c = gs[d * pdg:(d + 1) * pdg]
+                need_n = max(need_n, sum(g.num_nodes for g in c))
+                need_e = max(need_e, sum(g.num_edges for g in c))
+        node_pad = max(self.node_ladder[-1],
+                       self._bucket(need_n, self.node_ladder, "node"))
+        edge_pad = max(self.edge_ladder[-1],
+                       self._bucket(need_e, self.edge_ladder, "edge"))
+        subs = [split_for_devices(gs, D, pdg, [node_pad], [edge_pad])
+                for gs in graph_lists]
+        return stack_batches(subs, kind="superbatch_devices")
+
     def _tasks(self, order: np.ndarray):
         """The epoch's work items: thunks producing one (super)batch each."""
         B = self.batch_size
@@ -499,9 +522,11 @@ class BatchLoader:
         tasks = []
         if self.superbatch > 1:
             K = self.superbatch
+            maker = (self._make_superbatch_dp if self.n_devices > 1
+                     else self._make_superbatch)
             for g in range(0, len(starts) - len(starts) % K, K):
                 chunks = [order[s : s + B] for s in starts[g : g + K]]
-                tasks.append((self._make_superbatch, chunks))
+                tasks.append((maker, chunks))
             starts = starts[len(starts) - len(starts) % K :]
         for s in starts:
             tasks.append((self._make_batch, order[s : s + B]))
@@ -546,6 +571,12 @@ class BatchLoader:
         # (tunneled) TPU backends; per-leaf puts of these small arrays
         # pipeline at full speed.
         shd = self.sharding
+        if (shd is not None
+                and getattr(batch, "stacked", None) == "superbatch_devices"):
+            # [K, D, ...] scan stacks: the device axis moves to dim 1
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            shd = NamedSharding(shd.mesh, PartitionSpec(None, *shd.spec))
 
         def put(x):
             return x if x is None else jax.device_put(

@@ -1,5 +1,6 @@
 from .mesh import make_mesh, batch_sharding, replicated_sharding
-from .dp import make_dp_train_step, make_dp_eval_step, stack_batches, split_for_devices
+from .dp import (make_dp_train_step, make_dp_scan_train_step,
+                 make_dp_eval_step, stack_batches, split_for_devices)
 from .ep import (EPBatch, EPCaps, EPBlocked, build_ep_blocked,
                  partition_batch, pad_ep_batch,
                  build_ep_batches, ep_batch_caps, max_ep_caps,
@@ -11,7 +12,8 @@ from .multihost import (process_shard_indices, Subset,
 
 __all__ = [
     "make_mesh", "batch_sharding", "replicated_sharding",
-    "make_dp_train_step", "make_dp_eval_step", "stack_batches",
+    "make_dp_train_step", "make_dp_scan_train_step", "make_dp_eval_step",
+    "stack_batches",
     "split_for_devices",
     "EPBatch", "EPCaps", "EPBlocked", "build_ep_blocked",
     "partition_batch", "pad_ep_batch",

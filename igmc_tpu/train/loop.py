@@ -458,7 +458,8 @@ def train_epoch(step_fn, state: TrainState, loader: BatchLoader, key,
     params, opt_state = state.params, state.opt_state
     i = 0
     for batch in loader:
-        if (getattr(batch, "stacked", None) == "superbatch"
+        if (getattr(batch, "stacked", None) in ("superbatch",
+                                                "superbatch_devices")
                 and scan_step_fn is not None):
             # stacked superbatch: K steps in one dispatch
             K = batch.y.shape[0]
@@ -631,10 +632,11 @@ def train_multiple_epochs(
         state.params = params
         state.opt_state = jax.device_put(opt_state, param_shd)
 
-    # Superbatching composes with dense DP (the [K, B] gid block scans the
-    # same under a sharded graph axis); the flat DP path still excludes it.
-    sb = superbatch if (mesh is None and sharding is None) \
-        or (mesh is not None and batch_mode == "dense") else 0
+    # Superbatching composes with every path: dense DP scans the [K, B]
+    # gid block under a sharded graph axis, and flat DP scans [K, D, ...]
+    # stacks of device-stacked batches (make_dp_scan_train_step). Only the
+    # legacy explicit-loader-sharding path excludes it.
+    sb = 0 if (mesh is None and sharding is not None) else superbatch
     # Alternate flat aggregation engines (blocked / pallas) ride host-built
     # per-batch plans: host-collated loaders only, no stacking.
     if flat_aggregate in ("segment", "auto"):
@@ -719,15 +721,20 @@ def train_multiple_epochs(
         )
         test_loader = BatchLoader(
             test_dataset, batch_size, shuffle=False, sharding=sharding,
-            node_ladder=None, edge_ladder=None, superbatch=sb, n_devices=n_dev,
+            node_ladder=None, edge_ladder=None,
+            superbatch=0 if mesh is not None else sb, n_devices=n_dev,
             flat_aggregate=flat_aggregate,
         )
 
     if mesh is not None and not dense:
+        from ..parallel.dp import make_dp_scan_train_step
+
         fwd = forward
         step_fn = make_dp_train_step(fwd, optimizer, ARR, mesh, sharding,
                                      param_shd)
-        scan_step_fn = None
+        scan_step_fn = (make_dp_scan_train_step(fwd, optimizer, ARR, mesh,
+                                                param_shd)
+                        if sb > 1 else None)
         eval_fn = make_dp_eval_step(fwd, mesh, sharding, param_shd)
     elif dd_train is None:
         step_fn = make_train_step(forward, optimizer, ARR)
