@@ -151,12 +151,16 @@ def igmc_forward(params, batch: GraphBatch, cfg: IGMCConfig,
         deg = jax.ops.segment_sum(amask, dst_glob, num_segments=N)
         inv_deg = (1.0 / jnp.maximum(deg, 1.0))[:, None]
 
+    # CPU backends (tests, virtual meshes) run the kernel in interpreter
+    # mode automatically — Mosaic only lowers for TPU.
+    interpret = cfg.pallas_interpret or (
+        pallas and jax.default_backend() == "cpu")
     states = []
     for conv_params in params["convs"]:
         if pallas:
             agg = rgcn_aggregate_pallas(
                 x, conv_params["att"], conv_params["basis"], aligned,
-                cfg.pallas_rows, N, cfg.pallas_interpret)
+                cfg.pallas_rows, N, interpret)
             if cfg.aggr == "mean":
                 agg = agg * inv_deg
             x = jnp.tanh(agg + x @ conv_params["root"] + conv_params["bias"])
