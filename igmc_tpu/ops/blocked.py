@@ -109,8 +109,8 @@ def _plan_one(agg: np.ndarray, gat: np.ndarray, etype: np.ndarray,
     order = real[np.argsort(agg[real], kind="stable")]
     chunk_ids = agg[order] // rows
     counts = np.bincount(chunk_ids, minlength=n_chunks)
-    bpc = np.maximum(1, -(-counts // eblk))          # blocks per chunk
-    nb = int(bpc.sum())
+    bpc = -(-counts // eblk)                 # blocks per chunk (0 if empty:
+    nb = max(int(bpc.sum()), 1)              # missing segments sum to zero)
     nb_pad = -(-nb // group) * group
     if num_blocks is not None:
         if nb > num_blocks:
@@ -136,16 +136,43 @@ def _plan_one(agg: np.ndarray, gat: np.ndarray, etype: np.ndarray,
     p[blk, slot] = pair[order]
     u[blk, slot] = ukey[order]
     chunk = np.full(nb_pad, n_chunks - 1, np.int32)
-    chunk[:nb] = np.repeat(np.arange(n_chunks, dtype=np.int32), bpc)
+    real_blocks = np.repeat(np.arange(n_chunks, dtype=np.int32), bpc)
+    chunk[: len(real_blocks)] = real_blocks
     return BlockedPlan(g, r, t, m, p, u, chunk)
 
 
 def plan_capacity_blocks(node_pad: int, edge_pad: int, rows: int = 256,
                          eblk: int = 1024) -> int:
     """Worst-case block count of ANY edge list within (node_pad, edge_pad):
-    each chunk wastes at most one partial block. Fixing plans to this bound
-    gives one compiled program per shape bucket."""
-    return edge_pad // eblk + (-(-node_pad // rows))
+    every NONEMPTY chunk wastes at most one partial block, and at most
+    min(n_chunks, edge_pad) chunks can be nonempty. Fixing plans to this
+    bound gives one compiled program per shape bucket."""
+    n_chunks = -(-node_pad // rows)
+    return max(1, edge_pad // eblk + min(n_chunks, edge_pad))
+
+
+def pad_plan_blocks(plan: BlockedPlan, nb_target: int, n_chunks: int,
+                    group: int) -> BlockedPlan:
+    """Grow a plan's block count to nb_target (group-rounded) with masked
+    padding blocks assigned to the last chunk (keeps `chunk`
+    nondecreasing) — aligns naturally-sized plans to one shared shape."""
+    nb_target = -(-nb_target // group) * group
+    nb, eblk = plan.gather.shape
+    if nb == nb_target:
+        return plan
+    if nb > nb_target:
+        raise ValueError(f"cannot shrink plan blocks {nb} -> {nb_target}")
+    pad = nb_target - nb
+
+    def z(a):
+        return np.concatenate([a, np.zeros((pad, eblk), a.dtype)])
+
+    chunk = np.concatenate([np.asarray(plan.chunk),
+                            np.full(pad, n_chunks - 1, np.int32)])
+    return BlockedPlan(z(np.asarray(plan.gather)), z(np.asarray(plan.row)),
+                       z(np.asarray(plan.etype)), z(np.asarray(plan.mask)),
+                       z(np.asarray(plan.pair)), z(np.asarray(plan.ukey)),
+                       chunk)
 
 
 def plan_blocked_edges(edge_src, edge_dst, edge_type, edge_mask, edge_canon,

@@ -2,6 +2,7 @@ from .mesh import make_mesh, batch_sharding, replicated_sharding
 from .dp import (make_dp_train_step, make_dp_scan_train_step,
                  make_dp_eval_step, stack_batches, split_for_devices)
 from .ep import (EPBatch, EPCaps, EPBlocked, build_ep_blocked,
+                 pad_ep_blocked, max_ep_blocked_blocks, ep_blocked_blocks,
                  partition_batch, pad_ep_batch,
                  build_ep_batches, ep_batch_caps, max_ep_caps,
                  make_ep_forward, make_ep_train_step, make_ep_eval_step,
@@ -16,6 +17,7 @@ __all__ = [
     "stack_batches",
     "split_for_devices",
     "EPBatch", "EPCaps", "EPBlocked", "build_ep_blocked",
+    "pad_ep_blocked", "max_ep_blocked_blocks", "ep_blocked_blocks",
     "partition_batch", "pad_ep_batch",
     "build_ep_batches", "ep_batch_caps", "max_ep_caps",
     "make_ep_forward", "make_ep_train_step", "make_ep_eval_step",

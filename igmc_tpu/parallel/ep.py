@@ -517,26 +517,26 @@ jax.tree_util.register_pytree_node(
 
 def build_ep_blocked(ep: EPBatch, rows: int = 128, eblk: int = 512,
                      group: int = 8, device_put: bool = True) -> EPBlocked:
-    """Blocked plans for every chip of an EPBatch, capacity-sized so every
-    batch built under the same EPCaps shares one compiled shape."""
-    from ..ops.blocked import _plan_one, plan_capacity_blocks
+    """Blocked plans for every chip of an EPBatch.
+
+    Plans are NATURALLY sized (no worst-case capacity padding — a
+    boundary group with a handful of edges gets one block, not one per
+    node chunk) and then padded to the max across devices so the [D]
+    stack is rectangular. Across batches, align shapes with
+    pad_ep_blocked(max_ep_blocked_blocks(...)).
+    """
+    from ..ops.blocked import _plan_one, pad_plan_blocks
 
     D = ep.num_devices
     Nl = ep.node_label.shape[1]
     Pcap = ep.send_idx.shape[2]
     halo_rows = D * Pcap
-    Ei = ep.intra_src.shape[1]
-    Eb = ep.bnd_src.shape[1]
     # host views (EPBatch may already be device-resident)
     isrc, idst, ityp, ipair, imask = (np.asarray(a) for a in (
         ep.intra_src, ep.intra_dst, ep.intra_type, ep.intra_pair,
         ep.intra_mask))
     bsrc, bdst, btyp, bpair, bmask = (np.asarray(a) for a in (
         ep.bnd_src, ep.bnd_dst, ep.bnd_type, ep.bnd_pair, ep.bnd_mask))
-
-    nb_i = plan_capacity_blocks(Nl, Ei, rows, eblk)
-    nb_bf = plan_capacity_blocks(Nl, Eb, rows, eblk)
-    nb_bb = plan_capacity_blocks(halo_rows, Eb, rows, eblk)
 
     def per_device(d):
         gdst_i = (d * Nl + idst[d]).astype(np.int64)
@@ -546,23 +546,63 @@ def build_ep_blocked(ep: EPBatch, rows: int = 128, eblk: int = 512,
         uk_b = (bpair[d].astype(np.uint32) * np.uint32(0x9E3779B1)
                 + gdst_b.astype(np.uint32)).astype(np.int32)
         i_fwd = _plan_one(idst[d], isrc[d], ityp[d], ipair[d], uk_i,
-                          imask[d], Nl, rows, eblk, group, nb_i)
+                          imask[d], Nl, rows, eblk, group)
         i_bwd = _plan_one(isrc[d], idst[d], ityp[d], ipair[d], uk_i,
-                          imask[d], Nl, rows, eblk, group, nb_i)
+                          imask[d], Nl, rows, eblk, group)
         b_fwd = _plan_one(bdst[d], bsrc[d], btyp[d], bpair[d], uk_b,
-                          bmask[d], Nl, rows, eblk, group, nb_bf)
+                          bmask[d], Nl, rows, eblk, group)
         b_bwd = _plan_one(bsrc[d], bdst[d], btyp[d], bpair[d], uk_b,
-                          bmask[d], halo_rows, rows, eblk, group, nb_bb)
-        return i_fwd, i_bwd, b_fwd, b_bwd
+                          bmask[d], halo_rows, rows, eblk, group)
+        return [i_fwd, i_bwd, b_fwd, b_bwd]
 
     per_d = [per_device(d) for d in range(D)]
-    stack = lambda i: jax.tree_util.tree_map(
-        lambda *xs: np.stack(xs), *(p[i] for p in per_d))
-    plans = EPBlocked(stack(0), stack(1), stack(2), stack(3),
-                      rows, group, Nl, halo_rows)
+    n_chunks = (-(-Nl // rows), -(-Nl // rows), -(-Nl // rows),
+                -(-halo_rows // rows))
+    stacked = []
+    for i in range(4):
+        nb_max = max(p[i].gather.shape[0] for p in per_d)
+        padded = [pad_plan_blocks(p[i], nb_max, n_chunks[i], group)
+                  for p in per_d]
+        stacked.append(jax.tree_util.tree_map(
+            lambda *xs: np.stack(xs), *padded))
+    plans = EPBlocked(*stacked, rows, group, Nl, halo_rows)
     if device_put:
         plans = jax.tree_util.tree_map(jax.device_put, plans)
     return plans
+
+
+def ep_blocked_blocks(plans: EPBlocked):
+    """The four per-plan block counts (the compiled-shape knob)."""
+    return tuple(p.gather.shape[1]
+                 for p in (plans.i_fwd, plans.i_bwd, plans.b_fwd,
+                           plans.b_bwd))
+
+
+def max_ep_blocked_blocks(all_plans: Sequence[EPBlocked]):
+    return tuple(max(ep_blocked_blocks(p)[i] for p in all_plans)
+                 for i in range(4))
+
+
+def pad_ep_blocked(plans: EPBlocked, nb_targets) -> EPBlocked:
+    """Pad every device's plans to shared block counts so all batches of
+    an epoch reuse one compiled program (masked padding blocks)."""
+    from ..ops.blocked import BlockedPlan, pad_plan_blocks
+
+    Nl, halo_rows = plans.Nl, plans.halo_rows
+    rows, group = plans.rows, plans.group
+    n_chunks = (-(-Nl // rows), -(-Nl // rows), -(-Nl // rows),
+                -(-halo_rows // rows))
+    out = []
+    for i, stacked in enumerate((plans.i_fwd, plans.i_bwd, plans.b_fwd,
+                                 plans.b_bwd)):
+        D = stacked.gather.shape[0]
+        per_d = [BlockedPlan(*(np.asarray(a)[d] for a in stacked))
+                 for d in range(D)]
+        padded = [pad_plan_blocks(p, nb_targets[i], n_chunks[i], group)
+                  for p in per_d]
+        out.append(jax.tree_util.tree_map(lambda *xs: np.stack(xs),
+                                          *padded))
+    return EPBlocked(*out, rows, group, Nl, halo_rows)
 
 
 # ---------------------------------------------------------------------------

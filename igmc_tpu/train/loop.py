@@ -917,9 +917,21 @@ def train_multiple_epochs_ep(
     plans_train = plans_test = None
     if local_aggregate == "blocked":
         # scatter-free per-chip aggregation (ops/blocked.py via EP plans);
-        # plans are built host-side once, like the batches
-        plans_train = [build_ep_blocked(e) for e in eps_train]
-        plans_test = [build_ep_blocked(e) for e in eps_test]
+        # plans are built host-side once, like the batches, then aligned
+        # to one shared block-count shape per list (one compiled program)
+        from ..parallel.ep import max_ep_blocked_blocks, pad_ep_blocked
+
+        def build(es):
+            ps = [build_ep_blocked(e, device_put=False) for e in es]
+            if len(ps) > 1:
+                targets = max_ep_blocked_blocks(ps)
+                ps = [pad_ep_blocked(p, targets) for p in ps]
+            # leaf-wise puts (pytree-level device_put is pathologically
+            # slow through the tunneled backend)
+            return [jax.tree_util.tree_map(jax.device_put, p) for p in ps]
+
+        plans_train = build(eps_train)
+        plans_test = build(eps_test)
     elif local_aggregate != "segment":
         raise ValueError(f"unknown EP local_aggregate {local_aggregate!r}")
     put = lambda es: [jax.tree_util.tree_map(
