@@ -19,8 +19,6 @@ segment aggregation — igmc_forward outputs match to float tolerance
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

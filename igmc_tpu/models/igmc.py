@@ -21,7 +21,7 @@ Design notes (TPU-first, not a translation):
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax

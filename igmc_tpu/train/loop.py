@@ -32,7 +32,7 @@ import optax
 
 from ..batching.dataset import BatchLoader
 from ..models.igmc import arr_regularizer
-from .checkpoints import checkpoint_path, load_checkpoint, save_checkpoint
+from .checkpoints import checkpoint_path, load_checkpoint
 
 
 @dataclass
