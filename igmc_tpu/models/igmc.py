@@ -196,13 +196,13 @@ def _igmc_forward_blocked(params, batch: GraphBatch, blocked,
     backward) runs as MXU indicator matmuls — the HBM-resident giant-batch
     path. Edge dropout is the stateless hash stream over the plans' edge
     ids, so training works without host-side mask re-alignment."""
-    from ..ops.blocked import (blocked_degree, blocked_rgcn_aggregate,
-                               dropout_masks)
+    from ..ops.blocked import (blocked_degree, blocked_rel_counts,
+                               blocked_rgcn_aggregate, dropout_masks,
+                               relmean_weights)
 
-    if cfg.aggr not in ("mean", "sum"):
+    if cfg.aggr not in ("mean", "sum", "relmean"):
         raise NotImplementedError(
-            f"flat_aggregate='blocked' supports aggr mean/sum, not "
-            f"{cfg.aggr}")
+            f"flat_aggregate='blocked': unknown aggr {cfg.aggr}")
     N = batch.node_label.shape[0]
     x = jax.nn.one_hot(batch.node_label, cfg.num_features, dtype=jnp.float32)
     x = x * batch.node_mask[:, None].astype(jnp.float32)
@@ -218,6 +218,17 @@ def _igmc_forward_blocked(params, batch: GraphBatch, blocked,
     if cfg.aggr == "mean":
         deg = blocked_degree(blocked.fwd, masks[0], blocked.rows, N)
         inv_deg = (1.0 / jnp.maximum(deg, 1.0))[:, None]
+    elif cfg.aggr == "relmean":
+        # Schlichtkrull 1/c_{i,r}: fold the inverse (dst, relation) counts
+        # into the per-edge weights (relmean = weighted sum); counts are
+        # mask-dependent, so this happens after dropout, once per forward.
+        R = cfg.num_relations
+        cnt = blocked_rel_counts(blocked.fwd, masks[0], R, blocked.rows, N)
+        cinv = (1.0 / jnp.maximum(cnt, 1.0)).reshape(-1)
+        masks = (relmean_weights(cinv, blocked.fwd, masks[0], R,
+                                 blocked.rows, True),
+                 relmean_weights(cinv, blocked.bwd, masks[1], R,
+                                 blocked.rows, False))
 
     states = []
     for conv in params["convs"]:

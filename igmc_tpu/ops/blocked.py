@@ -243,6 +243,40 @@ def blocked_degree(plan: BlockedPlan, mask: jnp.ndarray, rows: int,
     return deg.reshape(n_chunks * rows)[:num_nodes]
 
 
+def blocked_rel_counts(plan: BlockedPlan, mask, R: int, rows: int,
+                       num_nodes: int) -> jnp.ndarray:
+    """Unmasked incoming-edge count per (aggregation row, relation) —
+    scatter-free, same indicator-matmul discipline. [num_nodes, R]."""
+    n_chunks = -(-num_nodes // rows)
+
+    def body(_, inp):
+        row, t, m = inp
+        oh = jax.nn.one_hot(row * R + t, rows * R, dtype=jnp.float32)
+        return None, jnp.einsum("ek,e->k", oh, m)
+
+    _, parts = jax.lax.scan(body, None, (plan.row, plan.etype, mask))
+    cnt = jax.ops.segment_sum(parts, plan.chunk, num_segments=n_chunks,
+                              indices_are_sorted=True)
+    return cnt.reshape(n_chunks * rows, R)[:num_nodes]
+
+
+def relmean_weights(cinv_flat: jnp.ndarray, plan: BlockedPlan, mask,
+                    R: int, rows: int, is_fwd: bool) -> jnp.ndarray:
+    """Fold Schlichtkrull 1/c_{dst,r} into a plan's per-edge weights.
+
+    relmean is linear, so it is sum-aggregation with each edge weighted by
+    the inverse (dst, relation) count; the SAME weight must ride the
+    backward plan (the vjp of `sum w_e (...)` reuses w_e). The (dst, type)
+    key is the aggregation row in the fwd plan and the GATHER index in the
+    bwd plan (src-major: its gather is the edge's dst).
+    `cinv_flat` is [num_dst_nodes * R] from blocked_rel_counts.
+    """
+    key_rows = (_plan_row_global(plan, rows) if is_fwd else plan.gather)
+    idx = jnp.clip(key_rows * R + plan.etype, 0,
+                   cinv_flat.shape[0] - 1)
+    return mask * cinv_flat[idx]
+
+
 def _fwd_scan(x, att, basis, plan: BlockedPlan, mask, rows: int,
               num_nodes: int, group: int):
     """out[i] = sum_{e: dst_e = i} mask_e * (att[type_e] (x) x[src_e]) @ B."""

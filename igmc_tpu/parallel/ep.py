@@ -703,11 +703,12 @@ def make_ep_forward(cfg: IGMCConfig, mesh: Mesh):
         halo-row gradients over the src-major plan, and the all_to_all
         transpose routes them to their owners."""
         from ..ops.blocked import (BlockedEdges, BlockedPlan,
-                                   blocked_degree, blocked_rgcn_aggregate)
+                                   blocked_degree, blocked_rel_counts,
+                                   blocked_rgcn_aggregate, relmean_weights)
 
-        if cfg.aggr not in ("mean", "sum"):
+        if cfg.aggr not in ("mean", "sum", "relmean"):
             raise NotImplementedError(
-                f"blocked EP aggregation supports mean/sum, not {cfg.aggr}")
+                f"blocked EP aggregation: unknown aggr {cfg.aggr}")
         loc = lambda plan: BlockedPlan(*(a[0] for a in plan))
         i_fwd, i_bwd = loc(plans.i_fwd), loc(plans.i_bwd)
         b_fwd, b_bwd = loc(plans.b_fwd), loc(plans.b_bwd)
@@ -731,6 +732,21 @@ def make_ep_forward(cfg: IGMCConfig, mesh: Mesh):
             deg = (blocked_degree(i_fwd, masks_i[0], rows, Nl)
                    + blocked_degree(b_fwd, masks_b[0], rows, Nl))
             inv_deg = (1.0 / jnp.maximum(deg, 1.0))[:, None]
+        elif cfg.aggr == "relmean":
+            # combined (local dst, relation) counts over BOTH edge groups;
+            # each plan's weights fold in the shared inverse counts
+            R = cfg.num_relations
+            cnt = (blocked_rel_counts(i_fwd, masks_i[0], R, rows, Nl)
+                   + blocked_rel_counts(b_fwd, masks_b[0], R, rows, Nl))
+            cinv = (1.0 / jnp.maximum(cnt, 1.0)).reshape(-1)
+            masks_i = (relmean_weights(cinv, i_fwd, masks_i[0], R, rows,
+                                       True),
+                       relmean_weights(cinv, i_bwd, masks_i[1], R, rows,
+                                       False))
+            masks_b = (relmean_weights(cinv, b_fwd, masks_b[0], R, rows,
+                                       True),
+                       relmean_weights(cinv, b_bwd, masks_b[1], R, rows,
+                                       False))
 
         states = []
         for conv in params["convs"]:

@@ -302,3 +302,34 @@ def test_loader_pallas_eval_parity_interpret():
     r_p = eval_rmse(make_eval_step(fwd_p), params, loader_p)
     r_s = eval_rmse(make_eval_step(fwd_s), params, loader_s)
     assert abs(r_p - r_s) < 1e-4
+
+
+def test_igmc_forward_blocked_relmean_matches_segment():
+    from igmc_tpu.models import IGMCConfig, igmc_forward, igmc_init
+
+    batch = _collated_batch(seed=8)
+    batch.blocked = plan_blocked_edges(
+        batch.edge_src, batch.edge_dst, batch.edge_type, batch.edge_mask,
+        batch.edge_canon, batch.num_nodes, rows=64, eblk=256, group=4)
+    cfg_seg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0,
+                         aggr="relmean")
+    cfg_blk = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0,
+                         aggr="relmean", flat_aggregate="blocked")
+    params = igmc_init(jax.random.PRNGKey(0), cfg_seg)
+    ref = igmc_forward(params, batch, cfg_seg, None, False)
+    out = igmc_forward(params, batch, cfg_blk, None, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # gradients too (the bwd plan must carry the same relmean weights)
+    def loss(fn_cfg):
+        def f(p):
+            o = igmc_forward(p, batch, fn_cfg, None, False)
+            return jnp.sum(jnp.sin(o))
+        return jax.grad(f)(params)
+
+    g1, g2 = loss(cfg_blk), loss(cfg_seg)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

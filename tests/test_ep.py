@@ -385,3 +385,21 @@ def test_ep_blocked_training_loop_cli_equivalent():
         logger=lambda i, s: losses.append(i["train_loss"]))
     assert np.isfinite(rmse)
     assert losses[-1] < losses[0]
+
+
+def test_ep_blocked_relmean_matches_segment():
+    from igmc_tpu.parallel.ep import build_ep_blocked
+
+    batch = make_batch(seed=23)
+    mesh = make_mesh(n_data=8)
+    ep = partition_batch(batch, 8)
+    plans = build_ep_blocked(ep, rows=16, eblk=64, group=2)
+    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0,
+                     aggr="relmean")
+    params = igmc_init(jax.random.PRNGKey(8), cfg)
+    fwd = make_ep_forward(cfg, mesh)
+    epd = jax.device_put(ep)
+    ref = fwd(params, epd, jnp.uint32(0), training=False)
+    out = fwd(params, epd, jnp.uint32(0), training=False, plans=plans)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
