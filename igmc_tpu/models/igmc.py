@@ -230,10 +230,12 @@ def _igmc_forward_blocked(params, batch: GraphBatch, blocked,
                  relmean_weights(cinv, blocked.bwd, masks[1], R,
                                  blocked.rows, False))
 
+    cd = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
     states = []
     for conv in params["convs"]:
         agg = blocked_rgcn_aggregate(x, conv["att"], conv["basis"], blocked,
-                                     masks, blocked.rows, N, blocked.group)
+                                     masks, blocked.rows, N, blocked.group,
+                                     None, None, cd)
         if cfg.aggr == "mean":
             agg = agg * inv_deg
         x = jnp.tanh(agg + x @ conv["root"] + conv["bias"])

@@ -278,10 +278,17 @@ def relmean_weights(cinv_flat: jnp.ndarray, plan: BlockedPlan, mask,
 
 
 def _fwd_scan(x, att, basis, plan: BlockedPlan, mask, rows: int,
-              num_nodes: int, group: int):
-    """out[i] = sum_{e: dst_e = i} mask_e * (att[type_e] (x) x[src_e]) @ B."""
+              num_nodes: int, group: int, compute_dtype=None):
+    """out[i] = sum_{e: dst_e = i} mask_e * (att[type_e] (x) x[src_e]) @ B.
+
+    `compute_dtype` (e.g. bfloat16) lowers the gather/message precision —
+    halving the roofline-charged gather bytes — while both reductions
+    (indicator matmul and chunk sum) accumulate in f32."""
     nb, cin, cout = basis.shape
-    bflat = basis.reshape(nb * cin, cout)
+    cd = compute_dtype or x.dtype
+    xc = x.astype(cd)
+    bflat = basis.reshape(nb * cin, cout).astype(cd)
+    attc = att.astype(cd)
     NB, eblk = plan.gather.shape
     assert NB % group == 0, (NB, group)
     G = group
@@ -289,8 +296,8 @@ def _fwd_scan(x, att, basis, plan: BlockedPlan, mask, rows: int,
 
     def body(_, inp):
         s, d, t, m = inp                              # [G, eblk]
-        xs = x[s]                                     # [G, eblk, cin]
-        ae = att[t] * m[..., None]                    # [G, eblk, nb]
+        xs = xc[s]                                    # [G, eblk, cin]
+        ae = attc[t] * m.astype(cd)[..., None]        # [G, eblk, nb]
         z = (ae[..., None] * xs[..., None, :]).reshape(G, eblk, nb * cin)
         msg = z @ bflat                               # [G, eblk, cout]
         oh = jax.nn.one_hot(d, rows, dtype=msg.dtype)
@@ -363,12 +370,13 @@ def _bwd_scan(x, att, basis, g, plan: BlockedPlan, mask, rows: int,
     return dx, datt, dbasis
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def blocked_rgcn_aggregate(x, att, basis, blocked: BlockedEdges,
                            masks, rows: int, num_nodes: int,
                            group: int = 8,
                            num_gather: Optional[int] = None,
-                           axis_name: Optional[str] = None):
+                           axis_name: Optional[str] = None,
+                           compute_dtype=None):
     """Masked segment-SUM of basis-mixed messages — scatter-free both ways.
 
     x [num_gather (default num_nodes), Cin]; att [R, nb]; basis [nb, Cin,
@@ -383,19 +391,24 @@ def blocked_rgcn_aggregate(x, att, basis, blocked: BlockedEdges,
     att/basis cotangents over the axis itself (shard_map's replication
     inference cannot see through a custom_vjp, so the reduction must be
     explicit; dx stays device-local, as the varying input requires).
+
+    `compute_dtype` (e.g. jnp.bfloat16) lowers the FORWARD gather/message
+    precision (f32 accumulation); the backward stays f32.
     """
     return _fwd_scan(x, att, basis, blocked.fwd, masks[0], rows, num_nodes,
-                     group)
+                     group, compute_dtype)
 
 
 def _vjp_fwd(x, att, basis, blocked, masks, rows, num_nodes, group,
-             num_gather, axis_name):
+             num_gather, axis_name, compute_dtype):
     out = blocked_rgcn_aggregate(x, att, basis, blocked, masks, rows,
-                                 num_nodes, group, num_gather, axis_name)
+                                 num_nodes, group, num_gather, axis_name,
+                                 compute_dtype)
     return out, (x, att, basis, blocked, masks)
 
 
-def _vjp_bwd(rows, num_nodes, group, num_gather, axis_name, res, g):
+def _vjp_bwd(rows, num_nodes, group, num_gather, axis_name, compute_dtype,
+             res, g):
     x, att, basis, blocked, masks = res
     n_in = num_nodes if num_gather is None else num_gather
     dx, datt, dbasis = _bwd_scan(x, att, basis, g, blocked.bwd, masks[1],

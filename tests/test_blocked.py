@@ -333,3 +333,21 @@ def test_igmc_forward_blocked_relmean_matches_segment():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_blocked_bf16_close_to_f32():
+    from igmc_tpu.models import IGMCConfig, igmc_forward, igmc_init
+
+    batch = _collated_batch(node_pad=384, seed=12)
+    batch.blocked = plan_blocked_edges(
+        batch.edge_src, batch.edge_dst, batch.edge_type, batch.edge_mask,
+        batch.edge_canon, batch.num_nodes, rows=64, eblk=256, group=4)
+    cfg32 = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0,
+                       flat_aggregate="blocked")
+    cfg16 = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0,
+                       flat_aggregate="blocked", compute_dtype="bfloat16")
+    params = igmc_init(jax.random.PRNGKey(0), cfg32)
+    o32 = igmc_forward(params, batch, cfg32, None, False)
+    o16 = igmc_forward(params, batch, cfg16, None, False)
+    np.testing.assert_allclose(np.asarray(o16), np.asarray(o32),
+                               rtol=0.05, atol=0.05)
