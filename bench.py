@@ -254,19 +254,27 @@ def bench_shape(name: str, num_relations: int, node_pad: int, edge_pad: int,
 def bench_dense_shape(name: str, num_relations: int, num_graphs: int,
                       node_slot: int, edge_slot: int, device,
                       K: int = 64, calls: int = 4, train: bool = False,
-                      fill_nodes: float = 0.9, fill_edges: float = 0.9) -> dict:
+                      fill_nodes: float = 0.9, fill_edges: float = 0.9,
+                      compute_dtype=None, chunk: int = 0) -> dict:
     """Dense-blocked layout (batching/dense.py): same chained-scan timing
     discipline as bench_shape. Real edges = 2x masked forward edges (both
-    directions are aggregated by rgcn_dense_apply)."""
+    directions are aggregated by rgcn_dense_apply).
+
+    `chunk` > 0 streams the batch through the chip in graph chunks
+    (models.igmc_forward_dense_chunked + the remat'd chunked train step) —
+    the HBM-resident formulation: every chunk's layer intermediates live
+    and die in VMEM, so throughput stays at the VMEM-resident rate no
+    matter how large the batch is."""
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _synthetic_dense_batch
-    from igmc_tpu.models import IGMCConfig, igmc_init
+    from igmc_tpu.models import (IGMCConfig, igmc_forward_dense_chunked,
+                                 igmc_init)
     from igmc_tpu.train.loop import make_optimizer, make_train_step
 
     cfg = IGMCConfig(num_relations=num_relations, num_bases=4,
-                     adj_dropout=0.0)
+                     adj_dropout=0.0, compute_dtype=compute_dtype)
     params = jax.device_put(igmc_init(jax.random.PRNGKey(0), cfg))
     batch = _synthetic_dense_batch(
         num_graphs=num_graphs, node_slot=node_slot, edge_slot=edge_slot,
@@ -275,7 +283,18 @@ def bench_dense_shape(name: str, num_relations: int, num_graphs: int,
     n_real = 2 * int(np.asarray(batch.edge_mask).sum())
     batch = jax.device_put(batch)
 
-    chained = make_chained_forward(cfg, K)
+    if chunk:
+        @jax.jit
+        def chained(p, b, c0):
+            def body(c, _):
+                pp = {**p, "lin2": {**p["lin2"],
+                                    "bias": p["lin2"]["bias"] + c * 1e-12}}
+                preds = igmc_forward_dense_chunked(pp, b, cfg, chunk)
+                return jnp.mean(preds), None
+            c, _ = jax.lax.scan(body, c0, None, length=K)
+            return c
+    else:
+        chained = make_chained_forward(cfg, K)
     dt = time_chained(chained, params, batch, K, calls)
     layers = len(cfg.latent_dim)
     out = {
@@ -284,6 +303,39 @@ def bench_dense_shape(name: str, num_relations: int, num_graphs: int,
         f"{name}_real_edges": n_real,
         f"{name}_graphs_per_sec": round(num_graphs / dt, 1),
     }
+
+    if train and chunk:
+        from igmc_tpu.models import chunk_dense_batch, igmc_forward
+        from igmc_tpu.train.loop import make_chunked_dense_train_step
+
+        fwd = lambda p, b, key=None, training=False: igmc_forward(
+            p, b, cfg, key, training)
+        opt = make_optimizer(1e-3)
+        step = make_chunked_dense_train_step(fwd, opt, chunk=chunk,
+                                             ARR=0.001)
+        stacked = chunk_dense_batch(batch, chunk)
+        key = jax.random.PRNGKey(0)
+        p, s = params, jax.device_put(opt.init(params))
+        p, s, loss, _ = step(p, s, stacked, key)
+        float(loss)
+        n_steps, best = 4, float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for _ in range(n_steps):
+                p, s, loss, _ = step(p, s, stacked, key)
+            float(loss)
+            t_lo = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(4 * n_steps):
+                p, s, loss, _ = step(p, s, stacked, key)
+            float(loss)
+            t_hi = time.perf_counter() - t0
+            best = min(best, (t_hi - t_lo) / (3 * n_steps))
+        out[f"{name}_train_step_scanned_ms"] = round(best * 1e3, 3)
+        out[f"{name}_train_graphs_per_sec"] = round(num_graphs / best, 1)
+        out[f"{name}_train_real_edges_per_sec"] = round(
+            layers * n_real / best, 1)
+        return out
 
     if train:
         from igmc_tpu.models import igmc_forward
@@ -426,18 +478,33 @@ def main():
     results.update(bench_dense_shape("yahoo_dense", 71, 64, 288, 384, dev,
                                      K=32, train=True))
 
-    # --- HBM-resident cross-check: same content, working set >> 16MB VMEM.
-    # The production engine for this regime is the scatter-free blocked
-    # path (ops/blocked.py); hbm_resident_r5_* reports it. The old segment
-    # formulation is kept alongside as hbm_resident_r5_segment_* to show
-    # the cliff it replaces (round-2 VERDICT weak #1). ---
+    # --- HBM-resident cross-check: same content (4096 graphs x 64-node /
+    # ~460-directed-edge subgraphs, 1.88M real edges), working set >> VMEM.
+    # The production engine for this regime is the DENSE-BLOCKED layout
+    # (batching/dense.py, bf16 trunk): IGMC giant batches are disjoint
+    # unions of small subgraphs, so per-graph slots make every aggregate
+    # an MXU matmul with no HBM row-gathers. hbm_resident_r5_* reports it.
+    # The flat alternatives are kept alongside to show the cliff it
+    # replaces (round-2 VERDICT weak #1): _flatblocked = scatter-free
+    # dst-blocked one-hot engine (ops/blocked.py — the general-giant-graph
+    # fallback when graphs are NOT small disjoint subgraphs; TPU row-
+    # gathers cap it at ~9e7 rows/s), _segment = XLA gather/scatter. ---
+    results.update(bench_dense_shape(
+        "hbm_resident_r5", 5, 4096, 64, 256, dev, K=8, calls=2,
+        train=True, compute_dtype="bfloat16", chunk=256))
+    results.update(bench_dense_shape(
+        "hbm_resident_r5_monolithic", 5, 4096, 64, 256, dev, K=8,
+        calls=2, compute_dtype="bfloat16"))
     results.update(bench_blocked_shape(
-        "hbm_resident_r5", 5, 262144, 2097152, 4096, dev, K=8, calls=2,
-        train=True))
+        "hbm_resident_r5_flatblocked", 5, 262144, 2097152, 4096, dev,
+        K=8, calls=2))
     results.update(bench_shape("hbm_resident_r5_segment", 5, 262144,
                                2097152, 4096, dev, K=8, calls=2))
-    results["hbm_resident_blocked_vs_segment_x"] = round(
+    results["hbm_resident_dense_vs_segment_x"] = round(
         results["hbm_resident_r5_real_edges_per_sec"]
+        / results["hbm_resident_r5_segment_real_edges_per_sec"], 2)
+    results["hbm_resident_blocked_vs_segment_x"] = round(
+        results["hbm_resident_r5_flatblocked_real_edges_per_sec"]
         / results["hbm_resident_r5_segment_real_edges_per_sec"], 2)
 
     results.update(bench_extraction())
@@ -466,7 +533,7 @@ def main():
             "outruns any HBM-streaming implementation. Target >= 0.8."),
         "hbm_streaming_bound_edges_per_sec": round(baseline, 1),
         "hbm_resident_measured_edges_per_sec": results[
-            "hbm_resident_r5_real_edges_per_sec"],  # blocked engine
+            "hbm_resident_r5_real_edges_per_sec"],  # dense-blocked engine
         "hbm_resident_vs_bound": round(
             results["hbm_resident_r5_real_edges_per_sec"] / baseline, 4),
         **results,

@@ -100,6 +100,58 @@ def make_train_step(forward: Callable, optimizer, ARR: float = 0.0,
     return step
 
 
+def make_chunked_dense_train_step(forward: Callable, optimizer, chunk: int,
+                                  ARR: float = 0.0,
+                                  with_arr_params: bool = True):
+    """ONE optimizer step on a giant DenseBatch, streamed in graph chunks.
+
+    The giant batch is reshaped to [K, chunk, ...] scan stacks
+    (models.chunk_dense_batch); the loss scan accumulates per-chunk SSE
+    with the chunk forward under jax.checkpoint, so the backward re-derives
+    each chunk's layer intermediates in VMEM instead of saving [B, E, *]
+    residuals to HBM — the HBM-resident training formulation (the forward-
+    only analog is igmc_forward_dense_chunked). Numerics match
+    make_train_step on the same batch up to dropout stream assignment
+    (per-chunk fold_in keys) and f32 summation order."""
+    from ..models import chunk_dense_batch
+
+    fwd_remat = jax.checkpoint(
+        lambda p, b, k: forward(p, b, key=k, training=True))
+
+    def loss_fn(params, stacked, key):
+        K = stacked.y.shape[0]
+
+        def body(acc, xs):
+            b, i = xs
+            preds = fwd_remat(params, b, jax.random.fold_in(key, i))
+            gmask = b.graph_mask.astype(jnp.float32)
+            sse = jnp.sum(((preds - b.y) ** 2) * gmask)
+            return (acc[0] + sse, acc[1] + gmask.sum()), None
+
+        (sse, n), _ = jax.lax.scan(body, (0.0, 0.0),
+                                   (stacked, jnp.arange(K)))
+        n = jnp.maximum(n, 1.0)
+        loss = sse / n
+        if ARR != 0.0 and with_arr_params:
+            loss = loss + ARR * arr_regularizer(params)
+        return loss, n
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, stacked, key):
+        (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, stacked, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, n
+
+    def run(params, opt_state, batch, key):
+        stacked = (batch if batch.stacked == "chunked"
+                   else chunk_dense_batch(batch, chunk))
+        return step(params, opt_state, stacked, key)
+
+    return run
+
+
 def make_scan_train_step(forward: Callable, optimizer, ARR: float = 0.0,
                          with_arr_params: bool = True):
     """K training steps in ONE dispatch: lax.scan over a stacked batch

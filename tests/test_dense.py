@@ -477,3 +477,83 @@ def test_dense_dgcnn_trains():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_chunked_dense_forward_matches_monolithic():
+    """igmc_forward_dense_chunked (the HBM-resident giant-batch streaming
+    formulation) is the SAME function as the monolithic dense forward —
+    equality to float tolerance with dropout off (bitwise on a single
+    device; the virtual 8-device CPU backend changes XLA's intra-op
+    thread partitioning between the two compilations, so reductions
+    reassociate)."""
+    from __graft_entry__ import _synthetic_dense_batch
+    from igmc_tpu.models import igmc_forward_dense_chunked
+
+    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0)
+    params = igmc_init(jax.random.PRNGKey(0), cfg)
+    batch = _synthetic_dense_batch(num_graphs=48, node_slot=16,
+                                   edge_slot=32, num_relations=5)
+    full = igmc_forward(params, batch, cfg)
+    for chunk in (12, 48):
+        chunked = igmc_forward_dense_chunked(params, batch, cfg, chunk)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                                   rtol=5e-3, atol=5e-4)
+    with pytest.raises(ValueError):
+        igmc_forward_dense_chunked(params, batch, cfg, 13)
+
+
+def test_chunked_dense_train_step_matches_unchunked():
+    """The remat'd gradient-accumulating chunked train step produces the
+    same parameters as make_train_step on the same giant batch when the
+    forward is deterministic (training randomness off — the production
+    step differs only in per-chunk dropout stream assignment, documented
+    in make_chunked_dense_train_step)."""
+    from __graft_entry__ import _synthetic_dense_batch
+    from igmc_tpu.train.loop import (make_chunked_dense_train_step,
+                                     make_optimizer, make_train_step)
+
+    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0)
+    params = igmc_init(jax.random.PRNGKey(0), cfg)
+    batch = _synthetic_dense_batch(num_graphs=32, node_slot=16,
+                                   edge_slot=32, num_relations=5)
+    # deterministic forward: ignore the training flag entirely
+    fwd = lambda p, b, key=None, training=False: igmc_forward(
+        p, b, cfg, None, False)
+    opt = make_optimizer(1e-3)
+    key = jax.random.PRNGKey(7)
+    copy = lambda t: jax.tree_util.tree_map(
+        lambda a: jnp.array(np.asarray(a)), t)
+    ref_step = make_train_step(fwd, opt, ARR=0.001)
+    p1, s1, l1, n1 = ref_step(copy(params), opt.init(copy(params)),
+                              batch, key)
+    chk_step = make_chunked_dense_train_step(fwd, opt, chunk=8, ARR=0.001)
+    p2, s2, l2, n2 = chk_step(copy(params), opt.init(copy(params)),
+                              batch, key)
+    assert float(n1) == float(n2)
+    assert abs(float(l1) - float(l2)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_dense_train_decreases_loss():
+    """End-to-end: the production chunked step (dropout ON) trains."""
+    from __graft_entry__ import _synthetic_dense_batch
+    from igmc_tpu.train.loop import (make_chunked_dense_train_step,
+                                     make_optimizer)
+
+    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.2)
+    params = igmc_init(jax.random.PRNGKey(0), cfg)
+    batch = _synthetic_dense_batch(num_graphs=32, node_slot=16,
+                                   edge_slot=32, num_relations=5)
+    fwd = lambda p, b, key=None, training=False: igmc_forward(
+        p, b, cfg, key, training)
+    opt = make_optimizer(1e-2)
+    step = make_chunked_dense_train_step(fwd, opt, chunk=8, ARR=0.001)
+    p, s = params, opt.init(params)
+    losses = []
+    for i in range(12):
+        p, s, loss, _ = step(p, s, batch, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
