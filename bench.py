@@ -130,7 +130,11 @@ def time_chained(chained, params, batch, K: int, calls: int = 4,
     fetch (float()) hard-syncs. The fetch costs one tunnel round trip, so
     each round times `calls` and `4*calls` carry-chained invocations and
     takes the difference — the RTT and launch overheads cancel, leaving
-    pure per-iteration device time. Best (smallest) of `rounds`."""
+    pure per-iteration device time. Best (smallest) POSITIVE difference of
+    `rounds`; if tunnel-latency noise makes every difference non-positive
+    (round-3 BENCH recorded a negative segment timing this way), falls back
+    to the smallest whole-run upper bound t_hi/(4*calls*K), which includes
+    dispatch overhead but can never be negative (round-3 ADVICE items 1/3)."""
     import jax.numpy as jnp
 
     c = chained(params, batch, jnp.float32(0.0))
@@ -143,12 +147,22 @@ def time_chained(chained, params, batch, K: int, calls: int = 4,
         float(c)  # hard sync: value fetch waits for real execution
         return time.perf_counter() - t0, c
 
-    best = float("inf")
+    diffs, uppers = [], []
     for _ in range(rounds):
         t_lo, c = run(calls, c)
         t_hi, c = run(4 * calls, c)
-        best = min(best, (t_hi - t_lo) / (3 * calls * K))
-    return best
+        diffs.append((t_hi - t_lo) / (3 * calls * K))
+        uppers.append(t_hi / (4 * calls * K))
+    pos = [d for d in diffs if d > 0]
+    return min(pos) if pos else min(uppers)
+
+
+def best_positive(samples) -> float:
+    """samples: (differenced_estimate, whole_run_upper_bound) pairs.
+    Returns the smallest positive differenced estimate; if noise made every
+    difference non-positive, the smallest upper bound (always > 0)."""
+    pos = [d for d, _ in samples if d > 0]
+    return min(pos) if pos else min(u for _, u in samples)
 
 
 def bench_shape(name: str, num_relations: int, node_pad: int, edge_pad: int,
@@ -208,11 +222,13 @@ def bench_shape(name: str, num_relations: int, node_pad: int, edge_pad: int,
             float(loss)                                 # hard sync
             return time.perf_counter() - t0, p, s
 
-        n_steps, best = 25, float("inf")
+        n_steps, samples = 25, []
         for _ in range(3):
             t_lo, p, s = run(n_steps, p, s)
             t_hi, p, s = run(4 * n_steps, p, s)
-            best = min(best, (t_hi - t_lo) / (3 * n_steps))
+            samples.append(((t_hi - t_lo) / (3 * n_steps),
+                            t_hi / (4 * n_steps)))
+        best = best_positive(samples)
         out[f"{name}_train_step_ms"] = round(best * 1e3, 3)
 
         # Scanned variant: K_t steps fused into one dispatch, as the
@@ -231,7 +247,7 @@ def bench_shape(name: str, num_relations: int, node_pad: int, edge_pad: int,
 
         p, s, loss = scanned(p, s, batch, key)
         float(loss)
-        n_calls, best_s = 3, float("inf")
+        n_calls, samples_s = 3, []
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(n_calls):
@@ -243,7 +259,9 @@ def bench_shape(name: str, num_relations: int, node_pad: int, edge_pad: int,
                 p, s, loss = scanned(p, s, batch, key)
             float(loss)
             t_hi = time.perf_counter() - t0
-            best_s = min(best_s, (t_hi - t_lo) / (3 * n_calls * K_t))
+            samples_s.append(((t_hi - t_lo) / (3 * n_calls * K_t),
+                              t_hi / (4 * n_calls * K_t)))
+        best_s = best_positive(samples_s)
         out[f"{name}_train_step_scanned_ms"] = round(best_s * 1e3, 3)
         out[f"{name}_train_graphs_per_sec"] = round(batch_graphs / best_s, 1)
         out[f"{name}_train_real_edges_per_sec"] = round(
@@ -284,13 +302,16 @@ def bench_dense_shape(name: str, num_relations: int, num_graphs: int,
     batch = jax.device_put(batch)
 
     if chunk:
+        # Same tree-wide perturbation discipline as make_chained_forward:
+        # EVERY parameter depends on the previous iteration's carry, so XLA
+        # cannot hoist any loop-invariant layer out of the scan (a bias-only
+        # perturbation is hoist-unsafe in general — round-3 ADVICE item 2).
         @jax.jit
         def chained(p, b, c0):
             def body(c, _):
-                pp = {**p, "lin2": {**p["lin2"],
-                                    "bias": p["lin2"]["bias"] + c * 1e-12}}
+                pp = jax.tree_util.tree_map(lambda a: a + c, p)
                 preds = igmc_forward_dense_chunked(pp, b, cfg, chunk)
-                return jnp.mean(preds), None
+                return jnp.mean(preds) * 1e-30, None
             c, _ = jax.lax.scan(body, c0, None, length=K)
             return c
     else:
@@ -318,7 +339,7 @@ def bench_dense_shape(name: str, num_relations: int, num_graphs: int,
         p, s = params, jax.device_put(opt.init(params))
         p, s, loss, _ = step(p, s, stacked, key)
         float(loss)
-        n_steps, best = 4, float("inf")
+        n_steps, samples = 4, []
         for _ in range(2):
             t0 = time.perf_counter()
             for _ in range(n_steps):
@@ -330,7 +351,9 @@ def bench_dense_shape(name: str, num_relations: int, num_graphs: int,
                 p, s, loss, _ = step(p, s, stacked, key)
             float(loss)
             t_hi = time.perf_counter() - t0
-            best = min(best, (t_hi - t_lo) / (3 * n_steps))
+            samples.append(((t_hi - t_lo) / (3 * n_steps),
+                            t_hi / (4 * n_steps)))
+        best = best_positive(samples)
         out[f"{name}_train_step_scanned_ms"] = round(best * 1e3, 3)
         out[f"{name}_train_graphs_per_sec"] = round(num_graphs / best, 1)
         out[f"{name}_train_real_edges_per_sec"] = round(
@@ -360,7 +383,7 @@ def bench_dense_shape(name: str, num_relations: int, num_graphs: int,
         p, s = params, jax.device_put(opt.init(params))
         p, s, loss = scanned(p, s, batch, key)
         float(loss)
-        n_calls, best_s = 3, float("inf")
+        n_calls, samples_s = 3, []
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(n_calls):
@@ -372,7 +395,9 @@ def bench_dense_shape(name: str, num_relations: int, num_graphs: int,
                 p, s, loss = scanned(p, s, batch, key)
             float(loss)
             t_hi = time.perf_counter() - t0
-            best_s = min(best_s, (t_hi - t_lo) / (3 * n_calls * K_t))
+            samples_s.append(((t_hi - t_lo) / (3 * n_calls * K_t),
+                              t_hi / (4 * n_calls * K_t)))
+        best_s = best_positive(samples_s)
         out[f"{name}_train_step_scanned_ms"] = round(best_s * 1e3, 3)
         out[f"{name}_train_graphs_per_sec"] = round(num_graphs / best_s, 1)
         out[f"{name}_train_real_edges_per_sec"] = round(
@@ -427,7 +452,7 @@ def bench_blocked_shape(name: str, num_relations: int, node_pad: int,
         p, s = params, jax.device_put(opt.init(params))
         p, s, loss, _ = step(p, s, batch, key)
         float(loss)
-        n_steps, best = 4, float("inf")
+        n_steps, samples = 4, []
         for _ in range(2):
             t0 = time.perf_counter()
             for _ in range(n_steps):
@@ -439,7 +464,9 @@ def bench_blocked_shape(name: str, num_relations: int, node_pad: int,
                 p, s, loss, _ = step(p, s, batch, key)
             float(loss)
             t_hi = time.perf_counter() - t0
-            best = min(best, (t_hi - t_lo) / (3 * n_steps))
+            samples.append(((t_hi - t_lo) / (3 * n_steps),
+                            t_hi / (4 * n_steps)))
+        best = best_positive(samples)
         out[f"{name}_train_step_ms"] = round(best * 1e3, 3)
         out[f"{name}_train_real_edges_per_sec"] = round(
             layers * n_real / best, 1)
@@ -500,12 +527,23 @@ def main():
         K=8, calls=2))
     results.update(bench_shape("hbm_resident_r5_segment", 5, 262144,
                                2097152, 4096, dev, K=8, calls=2))
-    results["hbm_resident_dense_vs_segment_x"] = round(
-        results["hbm_resident_r5_real_edges_per_sec"]
-        / results["hbm_resident_r5_segment_real_edges_per_sec"], 2)
-    results["hbm_resident_blocked_vs_segment_x"] = round(
-        results["hbm_resident_r5_flatblocked_real_edges_per_sec"]
-        / results["hbm_resident_r5_segment_real_edges_per_sec"], 2)
+    # Comparison ratios are only meaningful when the segment denominator is a
+    # real (positive) rate; time_chained now guarantees positivity, but keep
+    # the guard so a broken measurement can never again publish negative
+    # "speedups" (round-3 ADVICE items 1/3).
+    seg_rate = results["hbm_resident_r5_segment_real_edges_per_sec"]
+    if seg_rate > 0:
+        results["hbm_resident_dense_vs_segment_x"] = round(
+            results["hbm_resident_r5_real_edges_per_sec"] / seg_rate, 2)
+        results["hbm_resident_blocked_vs_segment_x"] = round(
+            results["hbm_resident_r5_flatblocked_real_edges_per_sec"]
+            / seg_rate, 2)
+    else:
+        results["hbm_resident_dense_vs_segment_x"] = None
+        results["hbm_resident_blocked_vs_segment_x"] = None
+        results["hbm_resident_segment_note"] = (
+            "segment timing non-positive (tunnel noise defeated call-count "
+            "differencing); ratios suppressed")
 
     results.update(bench_extraction())
 

@@ -114,6 +114,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="subgraph extraction engine")
     p.add_argument("--profile-dir", default="",
                    help="if set, write a jax.profiler trace of one epoch here")
+    p.add_argument("--compilation-cache-dir",
+                   default=os.environ.get("IGMC_TPU_COMPILATION_CACHE", ""),
+                   help="persistent XLA compilation cache directory "
+                        "(jax_compilation_cache_dir). Full 40-epoch CLI "
+                        "wall-clock is compile-dominated on the tunneled "
+                        "backend (~2 min of 214 s, PARITY.md) — re-runs of "
+                        "the same shapes skip it entirely with a warm "
+                        "cache. Also via $IGMC_TPU_COMPILATION_CACHE")
     p.add_argument("--compute-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="R-GCN trunk compute dtype; bfloat16 halves message "
@@ -350,6 +358,17 @@ def build_model(args, split, n_features, train_graphs=None):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     from ..utils import ResultsDir, make_logger, seed_everything
+
+    if args.compilation_cache_dir:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          args.compilation_cache_dir)
+        # Cache every program: the run compiles many small per-bucket
+        # programs whose individual compile times sit under the default
+        # 1 s / 32 KB persistence thresholds but dominate in aggregate.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
     seed_everything(args.seed)
     print(args)

@@ -329,8 +329,13 @@ def chunk_dense_batch(batch: DenseBatch, chunk: int) -> DenseBatch:
     chunk's layer intermediates ([chunk, E, nb*C] messages etc.) live and
     die in VMEM and never round-trip HBM, unlike one monolithic [B, E, *]
     program. Measured on v5e at (B=4096, n=64, ~1.9M real edges): ~3x the
-    monolithic dense forward and ~70x the flat segment path (bench.py
-    hbm_resident_r5)."""
+    monolithic dense forward, ~70x the flat blocked one-hot engine and
+    >100x the flat segment path (bench.py hbm_resident_r5*)."""
+    if batch.stacked is not None:
+        raise ValueError(
+            f"chunk_dense_batch needs an unstacked batch whose leading axis "
+            f"is the graph axis; got stacked={batch.stacked!r} — chunking "
+            f"would silently slice the {batch.stacked} axis instead")
     if batch.num_graphs % chunk != 0:
         raise ValueError(f"num_graphs {batch.num_graphs} % chunk {chunk}")
     K = batch.num_graphs // chunk

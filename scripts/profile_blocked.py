@@ -44,16 +44,30 @@ def make_inputs(rows, eblk, group, seed=0):
 
 
 def timeit(fn, *args, iters=8):
+    """bench.py's timing discipline, not bare block_until_ready: the
+    tunneled backend acks small output buffers before execution, so only a
+    VALUE FETCH hard-syncs; and each round times `iters` vs `4*iters`
+    dispatches and differences so RTT/launch overheads cancel. Falls back
+    to the whole-run upper bound if noise makes the difference non-positive
+    (round-3 ADVICE item 4)."""
     out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(3):
+    float(np.asarray(out).sum())  # compile + hard sync (value fetch)
+
+    def run(n):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best, out
+        for _ in range(n):
+            o = fn(*args)
+        float(np.asarray(o).sum())  # hard sync: fetch waits for execution
+        return time.perf_counter() - t0, o
+
+    diffs, uppers = [], []
+    for _ in range(3):
+        t_lo, _ = run(iters)
+        t_hi, out = run(4 * iters)
+        diffs.append((t_hi - t_lo) / (3 * iters))
+        uppers.append(t_hi / (4 * iters))
+    pos = [d for d in diffs if d > 0]
+    return (min(pos) if pos else min(uppers)), out
 
 
 def main():
