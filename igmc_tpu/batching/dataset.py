@@ -436,8 +436,11 @@ class BatchLoader:
                 np.asarray(batch.edge_src), np.asarray(batch.edge_dst),
                 np.asarray(batch.edge_type), np.asarray(batch.edge_mask),
                 node_pad, eblk=self.plan_eblk, rows=self.plan_rows,
-                num_blocks=nb)
-            batch.aligned = tuple(out[:6])
+                num_blocks=nb, edge_canon=np.asarray(batch.edge_canon))
+            # 7-tuple: (..., first_of_chunk, ukey) — ukey is the directed-
+            # edge dropout key stream, enabling adj_dropout training on the
+            # Pallas path (models/igmc.py recomputes the mask on device).
+            batch.aligned = tuple(out[:6]) + (out[7],)
         else:
             raise ValueError(f"unknown flat_aggregate "
                              f"{self.flat_aggregate!r}")

@@ -58,14 +58,22 @@ def block_align_edges(
     eblk: int = 1024,  # 1-D int32 operands must match the T(1024) XLA tiling
     rows: int = 256,
     num_blocks: Optional[int] = None,
+    edge_canon: Optional[np.ndarray] = None,
 ):
     """Sort/pad edges into dst-aligned blocks for the Pallas kernel.
 
     Returns (src, dst_local, etype, mask, chunk_of_block, first_of_chunk,
-    n_blocks): edge arrays of shape [n_blocks*eblk]; block b only contains
-    edges whose dst lies in chunk `chunk_of_block[b]` (rows
+    n_blocks, ukey): edge arrays of shape [n_blocks*eblk]; block b only
+    contains edges whose dst lies in chunk `chunk_of_block[b]` (rows
     [c*rows, (c+1)*rows)); blocks of one chunk are consecutive and
     `first_of_chunk[b]` marks the first (for output-accumulator init).
+
+    `edge_canon` (the undirected-pair ids of GraphBatch.edge_canon) enables
+    training-time edge dropout on the Pallas path: `ukey` carries
+    pair*2 + (src<dst) — the same directed-edge dropout key convention as
+    the blocked plans (ops/blocked.py plan_blocked_edges) — so the keep
+    decision can be recomputed on device per step as a stateless hash.
+    Without it, ukey is None and dropout is rejected at forward time.
     """
     assert num_nodes % rows == 0, (num_nodes, rows)
     real = np.nonzero(edge_mask)[0]
@@ -90,6 +98,7 @@ def block_align_edges(
     dstl = np.zeros(E, np.int32)
     etyp = np.zeros(E, np.int32)
     mask = np.zeros(E, np.float32)
+    ukey = np.zeros(E, np.int32) if edge_canon is not None else None
     chunk_of_block = np.zeros(n_blocks, np.int32)
     first_of_chunk = np.zeros(n_blocks, np.int32)
 
@@ -106,10 +115,14 @@ def block_align_edges(
             dstl[o : o + n] = edge_dst[sub] - c * rows
             etyp[o : o + n] = edge_type[sub]
             mask[o : o + n] = 1.0
+            if ukey is not None:
+                ukey[o : o + n] = (edge_canon[sub] * 2
+                                   + (edge_src[sub] < edge_dst[sub]))
             chunk_of_block[b] = c
             first_of_chunk[b] = 1 if k == 0 else 0
             b += 1
-    return src, dstl, etyp, mask, chunk_of_block, first_of_chunk, n_blocks
+    return (src, dstl, etyp, mask, chunk_of_block, first_of_chunk, n_blocks,
+            ukey)
 
 
 # ---------------------------------------------------------------------------
@@ -184,7 +197,7 @@ def _aggregate_fwd(xs, ae, dstl, mask, basis_flat, chunk_of_block,
 
 def _dst_global(aligned, rows: int):
     """Reconstruct global dst ids from (dst_local, chunk_of_block)."""
-    src, dstl, etyp, mask, chunk_of_block, first_of_chunk = aligned
+    src, dstl, etyp, mask, chunk_of_block, first_of_chunk = aligned[:6]
     n_blocks = chunk_of_block.shape[0]
     eblk = src.shape[0] // n_blocks
     chunk_per_edge = jnp.repeat(chunk_of_block, eblk)
@@ -197,13 +210,15 @@ def rgcn_aggregate_pallas(x, att, basis, aligned, rows: int,
     """Fused masked segment-SUM of basis-mixed messages over aligned blocks.
 
     x [N, Cin] node features; att [R, B]; basis [B, Cin, Cout];
-    `aligned` = (src, dst_local, etype, mask, chunk_of_block, first_of_chunk)
-    from block_align_edges (device arrays). Returns [num_nodes, Cout] sums
-    (divide by degree outside for mean). Gathers stay in XLA; everything
-    else is one Pallas kernel. Differentiable in x/att/basis (custom_vjp
-    with an XLA backward).
+    `aligned` = (src, dst_local, etype, mask, chunk_of_block, first_of_chunk
+    [, ukey]) from block_align_edges (device arrays; a 7th ukey element —
+    the dropout key stream — is carried by training batches and ignored
+    here: callers fold dropout into `mask` before the call). Returns
+    [num_nodes, Cout] sums (divide by degree outside for mean). Gathers
+    stay in XLA; everything else is one Pallas kernel. Differentiable in
+    x/att/basis (custom_vjp with an XLA backward).
     """
-    src, dstl, etyp, mask, chunk_of_block, first_of_chunk = aligned
+    src, dstl, etyp, mask, chunk_of_block, first_of_chunk = aligned[:6]
     nb, cin, cout = basis.shape
     xs = x[src]                     # XLA gather
     ae = att[etyp]                  # XLA gather
@@ -224,7 +239,7 @@ def _aggregate_vjp_bwd(rows, num_nodes, interpret, res, g):
     """XLA backward: the op is linear — per-edge grad is a dst-gather of g,
     then the transposed basis-mix matmuls and segment-sums."""
     x, att, basis, aligned = res
-    src, dstl, etyp, mask, chunk_of_block, first_of_chunk = aligned
+    src, dstl, etyp, mask, chunk_of_block, first_of_chunk = aligned[:6]
     nb, cin, cout = basis.shape
     dst = _dst_global(aligned, rows)
 

@@ -131,14 +131,31 @@ def igmc_forward(params, batch: GraphBatch, cfg: IGMCConfig,
     emask = batch.edge_mask
     if training and cfg.adj_dropout > 0:
         if cfg.use_pallas and aligned is not None:
-            raise NotImplementedError(
-                "use_pallas + adj_dropout: the Pallas path bakes the edge "
-                "mask into host-side block alignment; train with "
-                "adj_dropout=0, or flat_aggregate='blocked' whose hash "
-                "dropout recomputes plan masks on device (ops/blocked.py)")
-        key, k_edge = jax.random.split(key)
-        emask = edge_dropout(k_edge, emask, batch.edge_canon,
-                             cfg.adj_dropout, cfg.force_undirected, training)
+            # Recompute the aligned mask on device: the keep decision is
+            # the stateless hash of (seed, directed-edge key) — the same
+            # convention as the blocked engine (ops/blocked.dropout_masks)
+            # — so no host-side re-alignment per step is needed. Requires
+            # block_align_edges(edge_canon=...) to have carried ukey.
+            if len(aligned) < 7 or aligned[6] is None:
+                raise NotImplementedError(
+                    "use_pallas + adj_dropout needs the aligned ukey "
+                    "stream: build plans with block_align_edges("
+                    "edge_canon=batch.edge_canon) (BatchLoader does)")
+            from ..parallel.ep import hash_edge_keep
+
+            key, k_edge = jax.random.split(key)
+            seed = jax.random.randint(
+                k_edge, (), 0, jnp.iinfo(jnp.int32).max).astype(jnp.uint32)
+            ukey = aligned[6]
+            key_ids = ukey // 2 if cfg.force_undirected else ukey
+            keep = hash_edge_keep(seed, key_ids, cfg.adj_dropout)
+            amask_dropped = aligned[3] * keep.astype(aligned[3].dtype)
+            aligned = aligned[:3] + (amask_dropped,) + aligned[4:]
+        else:
+            key, k_edge = jax.random.split(key)
+            emask = edge_dropout(k_edge, emask, batch.edge_canon,
+                                 cfg.adj_dropout, cfg.force_undirected,
+                                 training)
 
     pallas = cfg.use_pallas and aligned is not None
     if pallas:

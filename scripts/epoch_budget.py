@@ -73,44 +73,46 @@ def run_epochs(train_g, test_g, fwd, params, epochs: int, superbatch: int,
 
 
 def trace_device_busy_ms(profile_dir: str):
-    """Sum per-op device self-time from the trace's framework_op_stats."""
+    """Device-busy time and per-module totals straight from the xplane
+    protobuf (the tensorboard_plugin_profile converter is incompatible with
+    the installed TF, so read the trace's '/device:TPU:0' plane directly:
+    the 'XLA Modules' line's events are the non-overlapping module
+    executions — their total duration IS the device busy time)."""
     paths = glob.glob(os.path.join(profile_dir, "**", "*.xplane.pb"),
                       recursive=True)
     if not paths:
         return None, "no xplane.pb found"
     try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data
-    except ImportError:
-        return None, "tensorboard_plugin_profile unavailable"
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except Exception as e:
+        return None, f"xplane proto unavailable: {e}"
     try:
-        data, _ = raw_to_tool_data.xspace_to_tool_data(
-            [paths[0]], "framework_op_stats", {"tqx": "out:csv;"})
-        if isinstance(data, bytes):
-            data = data.decode()
-        import csv
-        import io
+        import collections
 
-        rows = list(csv.reader(io.StringIO(data)))
-        head = rows[0]
-        # columns include: host/device, op type, occurrences, total time,
-        # avg. time, total self-time ...
-        is_dev = head.index("host_or_device") if "host_or_device" in head \
-            else 0
-        self_t = None
-        for cand in ("total_self_time_in_us", "total_self_time",
-                     "total_self_time_us"):
-            if cand in head:
-                self_t = head.index(cand)
-                break
-        if self_t is None:
-            return None, f"columns: {head}"
-        dev_us = sum(float(r[self_t]) for r in rows[1:]
-                     if r and r[is_dev].lower() == "device")
-        host_us = sum(float(r[self_t]) for r in rows[1:]
-                      if r and r[is_dev].lower() == "host")
-        return {"device_busy_ms": round(dev_us / 1e3, 2),
-                "host_op_ms": round(host_us / 1e3, 2)}, None
-    except Exception as e:  # tool schema drift — report, don't die
+        xs = xplane_pb2.XSpace()
+        with open(paths[0], "rb") as f:
+            xs.ParseFromString(f.read())
+        dev = [pl for pl in xs.planes
+               if pl.name.startswith("/device:") and pl.lines]
+        if not dev:
+            return None, "no device plane"
+        dev = dev[0]
+        meta = {m.id: m.name for m in dev.event_metadata.values()}
+        out = {}
+        for ln in dev.lines:
+            if ln.name != "XLA Modules":
+                continue
+            mods = collections.Counter()
+            cnt = collections.Counter()
+            for e in ln.events:
+                mods[meta[e.metadata_id]] += e.duration_ps / 1e9
+                cnt[meta[e.metadata_id]] += 1
+            out["device_busy_ms"] = round(sum(mods.values()), 2)
+            out["modules"] = [
+                {"name": k, "total_ms": round(v, 1), "count": cnt[k]}
+                for k, v in mods.most_common(10)]
+        return (out, None) if out else (None, "no XLA Modules line")
+    except Exception as e:
         return None, f"{type(e).__name__}: {e}"
 
 
@@ -122,6 +124,13 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    # Persistent compilation cache: the sweep re-traces identical programs
+    # per configuration; only steady-state epochs are reported, so caching
+    # compiles does not distort the measurement.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/igmc_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
     os.makedirs(args.out, exist_ok=True)
     dev = jax.devices()[0]

@@ -138,8 +138,9 @@ def main():
 
     # --- blocked XLA ---
     t0 = time.perf_counter()
-    a_src, a_dstl, a_t, a_m, chunk_of, first_of, n_blocks = block_align_edges(
-        src, dst, etype, emask, N, eblk=EBLK, rows=ROWS)
+    (a_src, a_dstl, a_t, a_m, chunk_of, first_of, n_blocks,
+     _ukey) = block_align_edges(src, dst, etype, emask, N, eblk=EBLK,
+                                rows=ROWS)
     print(f"block_align_edges: {time.perf_counter() - t0:.2f}s, "
           f"{n_blocks} blocks", flush=True)
     n_chunks = N // ROWS
