@@ -262,3 +262,23 @@ def test_cli_flat_aggregate_pallas_trains_with_dropout(tmp_path, monkeypatch):
     losses = [float(l.split(",")[1].split(" ")[-1]) for l in log]
     assert losses[1] < losses[0]
     assert np.isfinite(float(log[-1].split(" ")[-1]))
+
+
+@pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+def test_cli_compilation_cache(tmp_path, monkeypatch):
+    """--compilation-cache-dir: the persistent XLA cache engages (entries
+    written) and a warm re-run reproduces the identical log."""
+    from igmc_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    cache = tmp_path / "xla_cache"
+    argv = ["--data-name", "flixster", "--testing", "--debug",
+            "--epochs", "1", "--max-train-num", "100", "--max-test-num", "40",
+            "--compilation-cache-dir", str(cache)]
+    main(argv + ["--save-appendix", "_a"])
+    entries = list(cache.iterdir())
+    assert entries, "no cache entries written"
+    main(argv + ["--save-appendix", "_b"])
+    la = (tmp_path / "results" / "flixster_a_testmode" / "log.txt").read_text()
+    lb = (tmp_path / "results" / "flixster_b_testmode" / "log.txt").read_text()
+    assert la == lb
