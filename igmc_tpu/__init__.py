@@ -18,3 +18,12 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy: serving pulls in jax/batching; keep bare `import igmc_tpu` light.
+    if name == "Predictor":
+        from .serve import Predictor
+
+        return Predictor
+    raise AttributeError(name)

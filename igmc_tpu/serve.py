@@ -1,0 +1,271 @@
+"""Serving: trained checkpoint(s) -> ratings for arbitrary (user, item) pairs.
+
+The reference has no inference story beyond evaluating a fixed test split
+(/root/reference/train_eval.py:114-139); a production matrix-completion
+deployment needs the other direction — "score these (u, v) pairs now".
+`Predictor` packages the full inductive pipeline behind one call:
+
+    extract enclosing subgraphs (C++ engine) -> pack -> device-resident
+    dense batches -> jitted ensemble forward -> ratings
+
+reusing the exact training-side machinery (so served scores are
+bit-identical to what `test_once` computes for the same pairs):
+`StaticGraphDataset` (uncached), `DeviceDataset` + `dense_predict_all`,
+and `load_checkpoint` (which also reads the reference's `.pth` format).
+Compiled programs are cached per (batch, node_slot, edge_slot) across
+`predict` calls, so a long-lived server pays each shape's compile once;
+pass `slot_ladder` to pin the shapes up front (no compiles after warmup).
+
+IGMC is inductive (no per-user embeddings), so the predictor can score
+pairs involving interaction histories never seen in training, including on
+a DIFFERENT rating graph than the checkpoint was trained on (transfer
+serving): pass that graph's adjacency plus the checkpoint's
+`num_relations`/`multiply_by` via cfg, exactly like `--transfer`.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+def _cap(n: int, quantum: int = 256) -> int:
+    """Round a table length up a ~12.5%-granular geometric ladder, so the
+    padded shape repeats across serving calls of similar size (a handful of
+    compiled programs for the server's lifetime instead of one per call)."""
+    import math
+
+    if n <= quantum:
+        return quantum
+    step = max(1 << max(int(math.log2(n)) - 3, 0), quantum)
+    return -(-n // step) * step
+
+
+def _pad_packed(packed):
+    """Copy of a _PackedGraphs with every table padded to _cap lengths.
+
+    Padded graphs have zero nodes/edges (offsets repeat) and are never
+    referenced by any gid block, so numerics are untouched — only the jit
+    cache key (the table shapes) is stabilized. Without this, every
+    predict() call re-jits the per-bucket eval programs against that call's
+    exact total node/edge counts (measured: ~7 s/call through the tunneled
+    compile service vs ~1.3 s of actual work)."""
+    import copy
+
+    p = copy.copy(packed)
+    G = len(packed.num_u)
+    Gc = _cap(G, 64)
+    Nc = _cap(len(packed.node_label))
+    Ec = _cap(len(packed.src))
+
+    def pad_to(a, n, fill=0):
+        if len(a) >= n:
+            return a
+        out = np.full((n,) + a.shape[1:], fill, dtype=a.dtype)
+        out[:len(a)] = a
+        return out
+
+    p.node_label = pad_to(packed.node_label, Nc)
+    p.src = pad_to(packed.src, Ec)
+    p.dst = pad_to(packed.dst, Ec)
+    p.etype = pad_to(packed.etype, Ec)
+    p.num_u = pad_to(packed.num_u, Gc)
+    p.y = pad_to(packed.y, Gc)
+    p.node_offsets = pad_to(packed.node_offsets, Gc + 1,
+                            fill=packed.node_offsets[-1])
+    p.edge_offsets = pad_to(packed.edge_offsets, Gc + 1,
+                            fill=packed.edge_offsets[-1])
+    if packed.u_feat is not None:
+        p.u_feat = pad_to(packed.u_feat, Gc)
+        p.v_feat = pad_to(packed.v_feat, Gc)
+    return p
+
+
+class Predictor:
+    """Batched rating prediction from a training adjacency + checkpoints.
+
+    Parameters
+    ----------
+    adj : scipy.sparse matrix (users x items), values = rating label + 1
+        — the same training adjacency convention as `SplitData.adj_train`.
+    class_values : np.ndarray of the original rating values.
+    cfg : IGMCConfig the checkpoints were trained with.
+    checkpoints : paths (.ckpt or reference .pth); multiple = prediction-
+        averaged ensemble, exactly like `--ensemble`.
+    params : alternatively, one in-memory params pytree.
+    h / sample_ratio / max_nodes_per_hop / backend : extraction settings
+        (must match training for distribution-consistent inputs).
+    u_features / v_features : side-feature matrices when cfg.side_features.
+    slot_ladder : optional list of (node_slot, edge_slot) pairs to bucket
+        queries into (pins the compiled shapes); default derives one
+        shape per predict() call from that call's subgraphs.
+    """
+
+    def __init__(self, adj, class_values, cfg, checkpoints=None,
+                 params=None, h: int = 1, sample_ratio: float = 1.0,
+                 max_nodes_per_hop: Optional[int] = None,
+                 u_features=None, v_features=None, backend: str = "auto",
+                 batch_size: int = 50,
+                 slot_ladder: Optional[Sequence] = None):
+        from .models import igmc_forward, igmc_init
+
+        if (checkpoints is None) == (params is None):
+            raise ValueError("pass exactly one of checkpoints / params")
+        import jax
+
+        self.adj = adj.tocsr()
+        self.class_values = np.asarray(class_values)
+        self.cfg = cfg
+        self.h = h
+        self.sample_ratio = sample_ratio
+        self.max_nodes_per_hop = max_nodes_per_hop
+        self.u_features = u_features
+        self.v_features = v_features
+        self.backend = backend
+        self.batch_size = int(batch_size)
+        self.slot_ladder = ([(int(n), int(e)) for n, e in slot_ladder]
+                            if slot_ladder else None)
+
+        self._fwd = lambda p, b, key=None, training=False: igmc_forward(
+            p, b, cfg, key, training=False)
+        template = igmc_init(jax.random.PRNGKey(0), cfg)
+        if params is not None:
+            self.params_list = [params]
+        else:
+            from .train import load_checkpoint
+
+            self.params_list = [load_checkpoint(c, template)
+                                for c in checkpoints]
+        # Ensemble members stacked on a leading axis and device-resident:
+        # the eval program scans the members per batch (prediction-mean
+        # computed on device), so an M-way ensemble costs M x the FLOPs
+        # but NOT M x the dispatches/fetches through the tunnel.
+        self._params_stacked = jax.device_put(jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]),
+            *self.params_list))
+        self._eval_fns = {}  # (node_slot, edge_slot) -> compiled eval step
+
+    @classmethod
+    def from_results_dir(cls, res_dir: str, adj, class_values, cfg,
+                         epochs: int, interval: int = 10, span: int = 30,
+                         **kw):
+        """Ensemble predictor from a results directory, using the CLI's
+        checkpoint range convention (/root/reference/Main.py:437-466):
+        epochs-span .. epochs step interval (existing files only)."""
+        import os
+
+        from .train import resolve_checkpoint
+
+        cks = [resolve_checkpoint(res_dir, "model", e)
+               for e in range(epochs - span, epochs + 1, interval)]
+        cks = [c for c in cks if os.path.isfile(c)]
+        if not cks:
+            raise FileNotFoundError(f"no model checkpoints in {res_dir}")
+        return cls(adj, class_values, cfg, checkpoints=cks, **kw)
+
+    def _eval_fn(self, node_slot: int, edge_slot: int):
+        key = (node_slot, edge_slot)
+        if key not in self._eval_fns:
+            import jax
+            import jax.numpy as jnp
+
+            from .batching.device_data import assemble_dense
+
+            fwd = self._fwd
+
+            @jax.jit
+            def steps(params_stacked, dd, gid_block):
+                def body(_, gids):
+                    batch = assemble_dense(dd, gids, node_slot, edge_slot)
+
+                    def member(_, p):
+                        return None, fwd(p, batch)
+
+                    _, preds_m = jax.lax.scan(member, None, params_stacked)
+                    return None, jnp.mean(preds_m, axis=0)
+
+                _, preds = jax.lax.scan(body, None, gid_block)
+                return preds  # [K, B] ensemble-mean predictions
+
+            self._eval_fns[key] = steps
+        return self._eval_fns[key]
+
+    def _buckets(self, ds):
+        from .batching.dense import DenseBucket, plan_dense_buckets
+
+        nc, ec = ds.node_counts(), ds.edge_counts() // 2
+        if self.slot_ladder is None:
+            return plan_dense_buckets(nc, ec)
+        buckets = []
+        taken = np.zeros(len(nc), bool)
+        for n_slot, e_slot in sorted(self.slot_ladder):
+            sel = (~taken) & (nc <= n_slot) & (ec <= e_slot)
+            buckets.append(DenseBucket(int(n_slot), int(e_slot),
+                                       np.nonzero(sel)[0]))
+            taken |= sel
+        if not taken.all():
+            n, e = int(nc[~taken].max()), int(ec[~taken].max())
+            raise ValueError(
+                f"slot_ladder too small: a query subgraph needs "
+                f"({n} nodes, {e} fwd edges)")
+        return [b for b in buckets if len(b.indices)]
+
+    def predict(self, users, items) -> np.ndarray:
+        """Ratings for the pairs (users[i], items[i]); shape [n] float32.
+
+        Pairs are scored from their h-hop enclosing subgraphs in the
+        SERVING adjacency; an edge between the target pair itself is
+        removed before message passing (training parity,
+        /root/reference/util_functions.py:236-238), so observed pairs are
+        scored as if held out.
+        """
+        users = np.asarray(users, dtype=np.int64)
+        items = np.asarray(items, dtype=np.int64)
+        if users.shape != items.shape or users.ndim != 1:
+            raise ValueError("users/items must be equal-length 1-D")
+        if len(users) == 0:
+            return np.zeros(0, np.float32)
+        import jax
+        import jax.numpy as jnp
+
+        from .batching import StaticGraphDataset
+        from .batching.device_data import DeviceDataset
+        from .train.loop import plan_dense_epoch
+
+        # Dummy labels: packed y never feeds prediction, only training
+        # losses/eval RMSE, and root=None disables the disk cache.
+        ds = StaticGraphDataset(
+            None, self.adj, (users, items),
+            np.zeros(len(users), np.int64), h=self.h,
+            sample_ratio=self.sample_ratio,
+            max_nodes_per_hop=self.max_nodes_per_hop,
+            u_features=self.u_features, v_features=self.v_features,
+            class_values=self.class_values, backend=self.backend)
+        dd = DeviceDataset(_pad_packed(ds.packed), 8, 16, self.batch_size)
+        buckets = self._buckets(ds)
+        eval_fns = [self._eval_fn(b.node_slot, b.edge_slot)
+                    for b in buckets]
+        # Per-bucket superbatch, restricted to K in {1, 8} so the compiled-
+        # program set stays fixed for the server's lifetime: training pads
+        # each bucket's trailing [K, B] scan stack to full (amortized over
+        # thousands of graphs per bucket there), but a serving call may put
+        # only a handful of graphs in its most expensive slot shape, where
+        # K=8 padding multiplies that bucket's compute up to 8x; while the
+        # cheap well-filled buckets want K=8 to amortize the tunneled
+        # per-dispatch RTT that otherwise dominates the call. All blocks'
+        # predictions are fetched in ONE device_get at the end.
+        B = self.batch_size
+        raw = []
+        for b, ef in zip(buckets, eval_fns):
+            kb = 8 if len(b.indices) >= 8 * B else 1
+            for _, blk in plan_dense_epoch([b], B, kb):
+                raw.append((blk, ef(self._params_stacked, dd,
+                                    jnp.asarray(blk))))
+        fetched = jax.device_get([p for _, p in raw])
+        preds = np.full(len(ds), np.nan, np.float32)
+        for (blk, _), p in zip(raw, fetched):
+            p = np.asarray(p).reshape(-1)
+            flat = blk.reshape(-1)
+            preds[flat[flat >= 0]] = p[flat >= 0]
+        return preds

@@ -1,0 +1,109 @@
+"""Serving path (igmc_tpu/serve.py): Predictor must reproduce the eval
+pipeline's scores exactly and handle ensembles / pinned slot ladders."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+MONTI_AVAILABLE = (os.path.isdir("/root/reference/raw_data/flixster")
+                   or os.path.isdir("raw_data/flixster"))
+
+
+@pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+def test_predictor_matches_eval_and_ensembles(tmp_path):
+    from igmc_tpu.batching import StaticGraphDataset
+    from igmc_tpu.data import load_data_monti
+    from igmc_tpu.models import IGMCConfig, igmc_forward, igmc_init
+    from igmc_tpu.serve import Predictor
+    from igmc_tpu.train import train_multiple_epochs
+    from igmc_tpu.train.checkpoints import save_checkpoint
+
+    split = load_data_monti("flixster", testing=True)
+    n = 200
+    tr = StaticGraphDataset(None, split.adj_train,
+                            (split.train_u_indices[:n],
+                             split.train_v_indices[:n]),
+                            split.train_labels[:n], h=1,
+                            class_values=split.class_values)
+    te_pairs = (split.test_u_indices[:80], split.test_v_indices[:80])
+    te = StaticGraphDataset(None, split.adj_train, te_pairs,
+                            split.test_labels[:80], h=1,
+                            class_values=split.class_values)
+    cfg = IGMCConfig(num_relations=len(split.class_values), num_bases=4)
+    params = igmc_init(jax.random.PRNGKey(1), cfg)
+    # the jitted train step donates its param buffers; keep a host copy of
+    # the untrained params for the ensemble checks below
+    params0 = jax.tree_util.tree_map(np.array, params)
+    fwd = lambda p, b, key=None, training=False: igmc_forward(
+        p, b, cfg, key, training)
+    final_rmse, state = train_multiple_epochs(
+        tr, te, fwd, params, epochs=2, batch_size=50, lr=1e-3,
+        lr_decay_factor=0.1, lr_decay_step_size=50, ARR=0.001,
+        test_freq=1, seed=1, progress=False)
+
+    # 1) served scores == the eval pipeline's raw predictions
+    from igmc_tpu.batching.dense import plan_dense_buckets
+    from igmc_tpu.batching.device_data import DeviceDataset
+    from igmc_tpu.train.loop import (dense_predict_all,
+                                     make_dense_device_eval_step)
+
+    dd = DeviceDataset(te.packed, 8, 16, 50)
+    buckets = plan_dense_buckets(te.node_counts(), te.edge_counts() // 2)
+    eval_fns = [make_dense_device_eval_step(fwd, b.node_slot, b.edge_slot)
+                for b in buckets]
+    want = dense_predict_all(eval_fns, state.params, dd, buckets, 50,
+                             len(te))
+
+    pred = Predictor(split.adj_train, split.class_values, cfg,
+                     params=state.params)
+    got = pred.predict(*te_pairs)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # RMSE through the server == RMSE the training loop reported
+    ys = split.class_values[split.test_labels[:80]]
+    rmse = float(np.sqrt(np.mean((got - ys) ** 2)))
+    np.testing.assert_allclose(rmse, final_rmse, rtol=1e-5)
+
+    # 2) checkpoint + ensemble: mean of the two checkpoints' predictions
+    c1, c2 = tmp_path / "model_checkpoint1.ckpt", \
+        tmp_path / "model_checkpoint2.ckpt"
+    save_checkpoint(str(c1), params0)       # untrained
+    save_checkpoint(str(c2), state.params)  # trained
+    pred_e = Predictor(split.adj_train, split.class_values, cfg,
+                       checkpoints=[str(c1), str(c2)])
+    got_e = pred_e.predict(*te_pairs)
+    p1 = Predictor(split.adj_train, split.class_values, cfg,
+                   params=params0).predict(*te_pairs)
+    np.testing.assert_allclose(got_e, (p1 + got) / 2.0, rtol=1e-5,
+                               atol=1e-5)
+
+    # from_results_dir resolves the CLI checkpoint-range convention
+    pred_d = Predictor.from_results_dir(
+        str(tmp_path), split.adj_train, split.class_values, cfg,
+        epochs=2, interval=1, span=1)
+    np.testing.assert_allclose(pred_d.predict(*te_pairs), got_e,
+                               rtol=1e-5, atol=1e-5)
+
+    # 3) pinned slot ladder: same scores, shapes restricted to the ladder
+    nmax = int(te.node_counts().max())
+    emax = int((te.edge_counts() // 2).max())
+    ladder = [(-(-nmax // 8) * 8, -(-emax // 8) * 8)]
+    pred_l = Predictor(split.adj_train, split.class_values, cfg,
+                       params=state.params, slot_ladder=ladder)
+    got_l = pred_l.predict(*te_pairs)
+    np.testing.assert_allclose(got_l, want, rtol=1e-4, atol=1e-4)
+    assert list(pred_l._eval_fns) == [tuple(ladder[0])]
+
+    # a too-small ladder refuses loudly instead of truncating subgraphs
+    with pytest.raises(ValueError):
+        Predictor(split.adj_train, split.class_values, cfg,
+                  params=state.params,
+                  slot_ladder=[(8, 8)]).predict(*te_pairs)
+
+    # input validation
+    with pytest.raises(ValueError):
+        pred.predict([1, 2], [3])
+    assert pred.predict([], []).shape == (0,)
