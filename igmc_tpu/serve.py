@@ -25,7 +25,8 @@ serving): pass that graph's adjacency plus the checkpoint's
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from functools import partial
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -107,7 +108,7 @@ class Predictor:
                  max_nodes_per_hop: Optional[int] = None,
                  u_features=None, v_features=None, backend: str = "auto",
                  batch_size: int = 50,
-                 slot_ladder: Optional[Sequence] = None):
+                 slot_ladder: Optional[Sequence] = None, mesh=None):
         from .models import igmc_forward, igmc_init
 
         if (checkpoints is None) == (params is None):
@@ -126,6 +127,15 @@ class Predictor:
         self.batch_size = int(batch_size)
         self.slot_ladder = ([(int(n), int(e)) for n, e in slot_ladder]
                             if slot_ladder else None)
+        # Data-parallel serving: the gid block's graph axis is sharded over
+        # 'data' (packed tables + params replicated), the same
+        # collective-free layout as dense-DP training — each chip scores
+        # its slice of every batch.
+        self.mesh = mesh
+        if mesh is not None and self.batch_size % mesh.devices.size:
+            raise ValueError(
+                f"batch_size ({self.batch_size}) must divide by the mesh "
+                f"size ({mesh.devices.size})")
 
         self._fwd = lambda p, b, key=None, training=False: igmc_forward(
             p, b, cfg, key, training=False)
@@ -141,9 +151,16 @@ class Predictor:
         # the eval program scans the members per batch (prediction-mean
         # computed on device), so an M-way ensemble costs M x the FLOPs
         # but NOT M x the dispatches/fetches through the tunnel.
-        self._params_stacked = jax.device_put(jax.tree_util.tree_map(
+        stacked = jax.tree_util.tree_map(
             lambda *xs: np.stack([np.asarray(x) for x in xs]),
-            *self.params_list))
+            *self.params_list)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._params_stacked = jax.device_put(
+                stacked, NamedSharding(mesh, PartitionSpec()))
+        else:
+            self._params_stacked = jax.device_put(stacked)
         self._eval_fns = {}  # (node_slot, edge_slot) -> compiled eval step
 
     @classmethod
@@ -173,8 +190,15 @@ class Predictor:
             from .batching.device_data import assemble_dense
 
             fwd = self._fwd
+            jit_kw = {}
+            if self.mesh is not None:
+                from .train.loop import _dense_dp_shardings
 
-            @jax.jit
+                repl, blk = _dense_dp_shardings(self.mesh)
+                jit_kw = dict(in_shardings=(repl, repl, blk),
+                              out_shardings=blk)
+
+            @partial(jax.jit, **jit_kw)
             def steps(params_stacked, dd, gid_block):
                 def body(_, gids):
                     batch = assemble_dense(dd, gids, node_slot, edge_slot)
@@ -242,7 +266,13 @@ class Predictor:
             max_nodes_per_hop=self.max_nodes_per_hop,
             u_features=self.u_features, v_features=self.v_features,
             class_values=self.class_values, backend=self.backend)
-        dd = DeviceDataset(_pad_packed(ds.packed), 8, 16, self.batch_size)
+        dd_shd = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            dd_shd = NamedSharding(self.mesh, PartitionSpec())
+        dd = DeviceDataset(_pad_packed(ds.packed), 8, 16, self.batch_size,
+                           sharding=dd_shd)
         buckets = self._buckets(ds)
         eval_fns = [self._eval_fn(b.node_slot, b.edge_slot)
                     for b in buckets]

@@ -107,3 +107,31 @@ def test_predictor_matches_eval_and_ensembles(tmp_path):
     with pytest.raises(ValueError):
         pred.predict([1, 2], [3])
     assert pred.predict([], []).shape == (0,)
+
+
+@pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+def test_predictor_dp_mesh_matches_single_device():
+    """Serving over a data-parallel mesh (gid block sharded over 'data',
+    tables/params replicated) scores identically to single-device."""
+    from igmc_tpu.data import load_data_monti
+    from igmc_tpu.models import IGMCConfig, igmc_init
+    from igmc_tpu.parallel import make_mesh
+    from igmc_tpu.serve import Predictor
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    split = load_data_monti("flixster", testing=True)
+    cfg = IGMCConfig(num_relations=len(split.class_values), num_bases=4)
+    params = igmc_init(jax.random.PRNGKey(3), cfg)
+    pairs = (split.test_u_indices[:96], split.test_v_indices[:96])
+
+    single = Predictor(split.adj_train, split.class_values, cfg,
+                       params=params, batch_size=48)
+    dp = Predictor(split.adj_train, split.class_values, cfg,
+                   params=params, batch_size=48, mesh=make_mesh(n_data=8))
+    np.testing.assert_allclose(dp.predict(*pairs), single.predict(*pairs),
+                               rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(ValueError):
+        Predictor(split.adj_train, split.class_values, cfg, params=params,
+                  batch_size=50, mesh=make_mesh(n_data=8))
