@@ -108,12 +108,24 @@ class Predictor:
                  max_nodes_per_hop: Optional[int] = None,
                  u_features=None, v_features=None, backend: str = "auto",
                  batch_size: int = 50,
-                 slot_ladder: Optional[Sequence] = None, mesh=None):
+                 slot_ladder: Optional[Sequence] = None, mesh=None,
+                 compilation_cache_dir: Optional[str] = None):
         from .models import igmc_forward, igmc_init
 
         if (checkpoints is None) == (params is None):
             raise ValueError("pass exactly one of checkpoints / params")
         import jax
+
+        if compilation_cache_dir:
+            # Persistent XLA cache (process-global jax config, same knobs
+            # as the CLI flag): a restarted server warms its compiled
+            # shapes from disk instead of paying the ~7 s cold compile.
+            jax.config.update("jax_compilation_cache_dir",
+                              compilation_cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              -1)
 
         self.adj = adj.tocsr()
         self.class_values = np.asarray(class_values)
