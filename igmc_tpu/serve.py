@@ -10,8 +10,9 @@ deployment needs the other direction — "score these (u, v) pairs now".
 
 reusing the exact training-side machinery (so served scores are
 bit-identical to what `test_once` computes for the same pairs):
-`StaticGraphDataset` (uncached), `DeviceDataset` + `dense_predict_all`,
-and `load_checkpoint` (which also reads the reference's `.pth` format).
+`StaticGraphDataset` (uncached), `DeviceDataset` + `assemble_dense` +
+`plan_dense_epoch` gid blocks, and `load_checkpoint` (which also reads
+the reference's `.pth` format).
 Compiled programs are cached per (batch, node_slot, edge_slot) across
 `predict` calls, so a long-lived server pays each shape's compile once;
 pass `slot_ladder` to pin the shapes up front (no compiles after warmup).
