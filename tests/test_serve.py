@@ -135,3 +135,44 @@ def test_predictor_dp_mesh_matches_single_device():
     with pytest.raises(ValueError):
         Predictor(split.adj_train, split.class_values, cfg, params=params,
                   batch_size=50, mesh=make_mesh(n_data=8))
+
+
+@pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+def test_predictor_side_features():
+    """cfg.side_features: the serving path plumbs u/v feature matrices
+    through extraction/packing identically to the eval pipeline."""
+    from igmc_tpu.batching import StaticGraphDataset
+    from igmc_tpu.batching.dense import plan_dense_buckets
+    from igmc_tpu.batching.device_data import DeviceDataset
+    from igmc_tpu.data import load_data_monti
+    from igmc_tpu.models import IGMCConfig, igmc_forward, igmc_init
+    from igmc_tpu.serve import Predictor
+    from igmc_tpu.train.loop import (dense_predict_all,
+                                     make_dense_device_eval_step)
+
+    split = load_data_monti("flixster", testing=True)
+    uf = split.u_features.toarray()
+    vf = split.v_features.toarray()
+    nf = uf.shape[1] + vf.shape[1]
+    cfg = IGMCConfig(num_relations=len(split.class_values), num_bases=4,
+                     side_features=True, n_side_features=nf)
+    params = igmc_init(jax.random.PRNGKey(5), cfg)
+    pairs = (split.test_u_indices[:60], split.test_v_indices[:60])
+
+    fwd = lambda p, b, key=None, training=False: igmc_forward(
+        p, b, cfg, key, training)
+    te = StaticGraphDataset(None, split.adj_train, pairs,
+                            split.test_labels[:60], h=1,
+                            class_values=split.class_values,
+                            u_features=uf, v_features=vf)
+    dd = DeviceDataset(te.packed, 8, 16, 30)
+    buckets = plan_dense_buckets(te.node_counts(), te.edge_counts() // 2)
+    eval_fns = [make_dense_device_eval_step(fwd, b.node_slot, b.edge_slot)
+                for b in buckets]
+    want = dense_predict_all(eval_fns, params, dd, buckets, 30, len(te))
+
+    pred = Predictor(split.adj_train, split.class_values, cfg,
+                     params=params, u_features=uf, v_features=vf,
+                     batch_size=30)
+    got = pred.predict(*pairs)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
