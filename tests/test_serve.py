@@ -176,3 +176,35 @@ def test_predictor_side_features():
                      batch_size=30)
     got = pred.predict(*pairs)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+def test_predict_cli_end_to_end(tmp_path, monkeypatch, capsys):
+    """Train a debug run through the main CLI, then score pairs through the
+    serving CLI (python -m igmc_tpu.cli.predict): in-range finite ratings,
+    one output line per input pair."""
+    from igmc_tpu.cli.main import main as train_main
+    from igmc_tpu.cli.predict import main as predict_main
+    from igmc_tpu.data import load_data_monti
+
+    monkeypatch.chdir(tmp_path)
+    train_main(["--data-name", "flixster", "--testing", "--debug",
+                "--epochs", "2", "--save-interval", "1",
+                "--max-train-num", "120", "--max-test-num", "40"])
+
+    split = load_data_monti("flixster", testing=True)
+    pairs = tmp_path / "pairs.csv"
+    with open(pairs, "w") as f:
+        for u, v in zip(split.test_u_indices[:25], split.test_v_indices[:25]):
+            f.write(f"{u},{v}\n")
+    out = tmp_path / "preds.csv"
+    predict_main(["--data-name", "flixster", "--testing",
+                  "--results-dir", "results/flixster_testmode",
+                  "--epochs", "2", "--pairs", str(pairs),
+                  "--out", str(out), "--batch-size", "25"])
+    rows = [l.split(",") for l in out.read_text().strip().splitlines()]
+    assert len(rows) == 25
+    scores = np.array([float(r[2]) for r in rows])
+    assert np.isfinite(scores).all()
+    assert (np.array([int(r[0]) for r in rows])
+            == split.test_u_indices[:25]).all()
