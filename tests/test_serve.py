@@ -208,3 +208,39 @@ def test_predict_cli_end_to_end(tmp_path, monkeypatch, capsys):
     assert np.isfinite(scores).all()
     assert (np.array([int(r[0]) for r in rows])
             == split.test_u_indices[:25]).all()
+
+
+@pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+def test_predict_cli_transfer_serving(tmp_path, monkeypatch):
+    """Transfer serving: a douban-trained model (5 relations) scores
+    flixster pairs through the serving CLI with --transfer bucketing
+    flixster's 10 half-star classes into the source's 5 relations."""
+    from igmc_tpu.cli.main import main as train_main
+    from igmc_tpu.cli.predict import main as predict_main
+    from igmc_tpu.data import load_data_monti
+
+    monkeypatch.chdir(tmp_path)
+    train_main(["--data-name", "douban", "--testing", "--debug",
+                "--epochs", "1", "--save-interval", "1",
+                "--max-train-num", "120", "--max-test-num", "40"])
+
+    split = load_data_monti("flixster", testing=True)
+    pairs = tmp_path / "pairs.csv"
+    with open(pairs, "w") as f:
+        for u, v in zip(split.test_u_indices[:20], split.test_v_indices[:20]):
+            f.write(f"{u},{v}\n")
+    out = tmp_path / "preds.csv"
+    predict_main(["--data-name", "flixster", "--testing",
+                  "--results-dir", "results/douban_testmode",
+                  "--epochs", "1", "--transfer", "--num-relations", "5",
+                  "--multiply-by", "1", "--pairs", str(pairs),
+                  "--out", str(out), "--batch-size", "20"])
+    scores = np.array([float(l.split(",")[2])
+                       for l in out.read_text().strip().splitlines()])
+    assert scores.shape == (20,) and np.isfinite(scores).all()
+
+    with pytest.raises(SystemExit):
+        predict_main(["--data-name", "flixster", "--testing",
+                      "--results-dir", "results/douban_testmode",
+                      "--epochs", "1", "--transfer",
+                      "--pairs", str(pairs)])
