@@ -244,3 +244,31 @@ def test_predict_cli_transfer_serving(tmp_path, monkeypatch):
                       "--results-dir", "results/douban_testmode",
                       "--epochs", "1", "--transfer",
                       "--pairs", str(pairs)])
+
+
+def test_predictor_cold_start_pairs():
+    """Cold-start pairs (user/item with NO observed ratings -> zero-edge
+    enclosing subgraph) must serve finite scores, not crash — a production
+    edge case the training pipeline never sees."""
+    import scipy.sparse as sp
+
+    from igmc_tpu.models import IGMCConfig, igmc_init
+    from igmc_tpu.serve import Predictor
+
+    rng = np.random.default_rng(0)
+    M = sp.random(50, 50, density=0.1, format="csr",
+                  random_state=np.random.RandomState(1))
+    M.data = rng.integers(1, 6, M.nnz).astype(np.float64)
+    M = M.tolil()
+    M[7, :] = 0   # cold user
+    M[:, 9] = 0   # cold item
+    M = M.tocsr()
+    M.eliminate_zeros()
+
+    cfg = IGMCConfig(num_relations=5, num_bases=4)
+    pred = Predictor(M, np.arange(1.0, 6.0), cfg,
+                     params=igmc_init(jax.random.PRNGKey(0), cfg),
+                     batch_size=8)
+    us, vs = M.nonzero()
+    out = pred.predict([7, 7, int(us[0])], [9, int(vs[0]), 9])
+    assert out.shape == (3,) and np.isfinite(out).all()
