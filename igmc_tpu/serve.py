@@ -263,6 +263,15 @@ class Predictor:
             raise ValueError("users/items must be equal-length 1-D")
         if len(users) == 0:
             return np.zeros(0, np.float32)
+        nu, nv = self.adj.shape
+        if (users.min() < 0 or users.max() >= nu
+                or items.min() < 0 or items.max() >= nv):
+            bad = np.nonzero((users < 0) | (users >= nu)
+                             | (items < 0) | (items >= nv))[0]
+            raise ValueError(
+                f"{len(bad)} pair(s) out of range for the {nu}x{nv} "
+                f"adjacency (first bad index {int(bad[0])}: "
+                f"({int(users[bad[0]])}, {int(items[bad[0]])}))")
         import jax
         import jax.numpy as jnp
 

@@ -272,3 +272,23 @@ def test_predictor_cold_start_pairs():
     us, vs = M.nonzero()
     out = pred.predict([7, 7, int(us[0])], [9, int(vs[0]), 9])
     assert out.shape == (3,) and np.isfinite(out).all()
+
+
+def test_predictor_rejects_out_of_range_pairs():
+    import scipy.sparse as sp
+
+    from igmc_tpu.models import IGMCConfig, igmc_init
+    from igmc_tpu.serve import Predictor
+
+    M = sp.random(20, 30, density=0.2, format="csr",
+                  random_state=np.random.RandomState(2))
+    M.data = (M.data * 4 + 1).astype(np.float64)
+    cfg = IGMCConfig(num_relations=5, num_bases=4)
+    pred = Predictor(M, np.arange(1.0, 6.0), cfg,
+                     params=igmc_init(jax.random.PRNGKey(0), cfg))
+    with pytest.raises(ValueError, match="out of range"):
+        pred.predict([0, 20], [0, 0])   # user 20 >= 20
+    with pytest.raises(ValueError, match="out of range"):
+        pred.predict([0], [30])         # item 30 >= 30
+    with pytest.raises(ValueError, match="out of range"):
+        pred.predict([-1], [0])
