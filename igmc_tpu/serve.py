@@ -44,7 +44,7 @@ def _cap(n: int, quantum: int = 256) -> int:
     return -(-n // step) * step
 
 
-def _pad_packed(packed):
+def _pad_packed(packed, caps=None):
     """Copy of a _PackedGraphs with every table padded to _cap lengths.
 
     Padded graphs have zero nodes/edges (offsets repeat) and are never
@@ -52,7 +52,14 @@ def _pad_packed(packed):
     cache key (the table shapes) is stabilized. Without this, every
     predict() call re-jits the per-bucket eval programs against that call's
     exact total node/edge counts (measured: ~7 s/call through the tunneled
-    compile service vs ~1.3 s of actual work)."""
+    compile service vs ~1.3 s of actual work).
+
+    `caps` (mutable dict) makes the capacities a MONOTONE high-water mark
+    across calls: similar-size draws that straddle a _cap ladder boundary
+    would otherwise alternate between two shape sets and re-jit
+    intermittently (measured 6 s latency outliers on 128-pair calls); with
+    the high-water mark a long-lived server converges to one shape set
+    after at most a few growth steps."""
     import copy
 
     p = copy.copy(packed)
@@ -60,6 +67,10 @@ def _pad_packed(packed):
     Gc = _cap(G, 64)
     Nc = _cap(len(packed.node_label))
     Ec = _cap(len(packed.src))
+    if caps is not None:
+        Gc = caps["G"] = max(Gc, caps.get("G", 0))
+        Nc = caps["N"] = max(Nc, caps.get("N", 0))
+        Ec = caps["E"] = max(Ec, caps.get("E", 0))
 
     def pad_to(a, n, fill=0):
         if len(a) >= n:
@@ -175,6 +186,7 @@ class Predictor:
         else:
             self._params_stacked = jax.device_put(stacked)
         self._eval_fns = {}  # (node_slot, edge_slot) -> compiled eval step
+        self._table_caps = {}  # monotone packed-table capacities (see _pad_packed)
 
     @classmethod
     def from_results_dir(cls, res_dir: str, adj, class_values, cfg,
@@ -293,8 +305,8 @@ class Predictor:
             from jax.sharding import NamedSharding, PartitionSpec
 
             dd_shd = NamedSharding(self.mesh, PartitionSpec())
-        dd = DeviceDataset(_pad_packed(ds.packed), 8, 16, self.batch_size,
-                           sharding=dd_shd)
+        dd = DeviceDataset(_pad_packed(ds.packed, self._table_caps), 8, 16,
+                           self.batch_size, sharding=dd_shd)
         buckets = self._buckets(ds)
         eval_fns = [self._eval_fn(b.node_slot, b.edge_slot)
                     for b in buckets]
