@@ -66,7 +66,7 @@ def build_parser() -> argparse.ArgumentParser:
 def read_pairs(path: str):
     fh = sys.stdin if path == "-" else open(path)
     us, vs = [], []
-    with fh:
+    try:
         for line in fh:
             line = line.strip()
             if not line or line.startswith("#"):
@@ -74,6 +74,9 @@ def read_pairs(path: str):
             a, b = line.replace("\t", ",").split(",")[:2]
             us.append(int(a))
             vs.append(int(b))
+    finally:
+        if fh is not sys.stdin:  # never close the process's stdin
+            fh.close()
     return np.asarray(us, np.int64), np.asarray(vs, np.int64)
 
 
@@ -119,9 +122,12 @@ def main(argv=None):
     us, vs = read_pairs(args.pairs)
     scores = pred.predict(us, vs)
     out = sys.stdout if args.out == "-" else open(args.out, "w")
-    with out:
+    try:
         for u, v, s in zip(us, vs, scores):
             out.write(f"{u},{v},{s:.6f}\n")
+    finally:
+        if out is not sys.stdout:  # never close the process's stdout
+            out.close()
 
 
 if __name__ == "__main__":
