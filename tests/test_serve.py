@@ -292,3 +292,51 @@ def test_predictor_rejects_out_of_range_pairs():
         pred.predict([0], [30])         # item 30 >= 30
     with pytest.raises(ValueError, match="out of range"):
         pred.predict([-1], [0])
+
+
+def test_pad_packed_high_water_caps():
+    """_cap/_pad_packed invariants: padded table shapes come from the
+    geometric ladder, are MONOTONE across calls via the caps dict (the
+    serving shape-stability fix), and padding never changes real data."""
+    import scipy.sparse as sp
+
+    from igmc_tpu.batching import StaticGraphDataset
+    from igmc_tpu.serve import _cap, _pad_packed
+
+    assert _cap(1) == 256 and _cap(256) == 256
+    assert _cap(257) > 256 and _cap(257) % 256 == 0
+    big = _cap(100_000)
+    assert big >= 100_000 and (big - 100_000) / 100_000 < 0.13
+    # monotone in n
+    vals = [_cap(n) for n in range(1, 5000, 37)]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))
+
+    rng = np.random.default_rng(0)
+    M = sp.random(40, 40, density=0.15, format="csr",
+                  random_state=np.random.RandomState(3))
+    M.data = rng.integers(1, 6, M.nnz).astype(np.float64)
+    us, vs = M.nonzero()
+    ds1 = StaticGraphDataset(None, M, (us[:20], vs[:20]),
+                             np.zeros(20, np.int64), h=1,
+                             class_values=np.arange(1.0, 6.0))
+    caps = {}
+    p1 = _pad_packed(ds1.packed, caps)
+    caps1 = dict(caps)
+    assert len(p1.node_label) == caps["N"]
+    assert len(p1.num_u) == caps["G"]
+    assert len(p1.node_offsets) == caps["G"] + 1
+    # real prefix preserved, offsets repeat into the padding
+    np.testing.assert_array_equal(
+        p1.node_label[:len(ds1.packed.node_label)], ds1.packed.node_label)
+    assert (p1.node_offsets[len(ds1.packed.node_offsets):]
+            == ds1.packed.node_offsets[-1]).all()
+
+    ds2 = StaticGraphDataset(None, M, (us[:30], vs[:30]),
+                             np.zeros(30, np.int64), h=1,
+                             class_values=np.arange(1.0, 6.0))
+    _pad_packed(ds2.packed, caps)
+    assert all(caps[k] >= caps1[k] for k in caps1)  # high-water: never shrink
+    _pad_packed(ds1.packed, caps)
+    caps3 = dict(caps)
+    _pad_packed(ds2.packed, caps)
+    assert caps == caps3  # stable: repeats mint no new shapes
