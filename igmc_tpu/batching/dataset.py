@@ -307,12 +307,30 @@ class BatchLoader:
         flat_aggregate: Optional[str] = None,
         plan_rows: int = 256,
         plan_eblk: int = 1024,
+        batch_mode: str = "flat",
     ):
         if n_devices > 1 and batch_size % n_devices:
             raise ValueError(
                 f"batch_size {batch_size} must divide by n_devices {n_devices}"
             )
         self.n_devices = n_devices
+        # batch_mode='dense': collate into the dense-blocked layout
+        # (batching/dense.py, one graph per slot, FORWARD-only edges) —
+        # brings DYNAMIC datasets onto the all-MXU dense trunk (the
+        # 19-24x-faster-per-step path that was previously static-only) and
+        # uploads ~5x fewer bytes per edge than the doubled flat arrays.
+        # Ladders are then PER-GRAPH slot shapes, not per-batch totals.
+        if batch_mode not in ("flat", "dense"):
+            raise ValueError(f"unknown batch_mode {batch_mode!r}")
+        if batch_mode == "dense":
+            if flat_aggregate not in (None, "segment", "auto"):
+                raise ValueError("batch_mode='dense' conflicts with "
+                                 "flat_aggregate")
+            if n_devices > 1:
+                raise ValueError("batch_mode='dense' loader is single-"
+                                 "device (dense DP shards gid blocks via "
+                                 "a mesh instead; train/loop.py)")
+        self.batch_mode = batch_mode
         # Alternate flat aggregation engines need per-batch host plans
         # (ops/blocked.py; kernels block_align_edges), attached to the batch
         # with a FIXED block count per shape bucket (one compile each).
@@ -359,6 +377,20 @@ class BatchLoader:
 
     def _estimate_ladders(self):
         ds = self.dataset
+        if self.batch_mode == "dense":
+            # per-graph slot ladders (nodes, FORWARD edges)
+            if hasattr(ds, "node_counts"):
+                nc, ec = ds.node_counts(), ds.edge_counts()
+                if len(nc):
+                    return (pad_ladder(max(int(nc.max()), 8), base=8),
+                            pad_ladder(max(int(ec.max()) // 2, 8), base=8))
+            n = len(ds)
+            idx = np.linspace(0, n - 1, num=min(64, n), dtype=np.int64)
+            samples = [ds.get(int(i)) for i in idx]
+            max_n = max(g.num_nodes for g in samples)
+            max_e = max(len(g.src) for g in samples)
+            return (pad_ladder(max(max_n, 8), base=8),
+                    pad_ladder(max(max_e, 8), base=8))
         if hasattr(ds, "node_counts"):
             nc, ec = ds.node_counts(), ds.edge_counts()
             if len(nc):
@@ -393,8 +425,42 @@ class BatchLoader:
             return self.dataset.get_many(idxs)
         return [self.dataset.get(int(i)) for i in idxs]
 
+    def _make_batch_dense(self, graphs):
+        from .dense import collate_dense
+
+        node_slot = self._bucket(max(g.num_nodes for g in graphs),
+                                 self.node_ladder, "node-slot")
+        edge_slot = self._bucket(max(len(g.src) for g in graphs),
+                                 self.edge_ladder, "edge-slot")
+        return collate_dense(graphs, self.batch_size, node_slot, edge_slot)
+
+    def _make_superbatch_dense(self, idx_chunks):
+        """K dense batches sharing ONE slot shape, stacked [K, B, ...]
+        (stacked='superbatch') — consumed by the same scanned train step
+        as flat superbatches (train/loop.py train_epoch)."""
+        import jax
+
+        from .dense import collate_dense
+
+        graph_lists = [self._fetch(idxs) for idxs in idx_chunks]
+        node_slot = self.node_ladder[-1]
+        edge_slot = self.edge_ladder[-1]
+        need_n = max(g.num_nodes for gs in graph_lists for g in gs)
+        need_e = max(len(g.src) for gs in graph_lists for g in gs)
+        if need_n > node_slot:
+            node_slot = self._bucket(need_n, self.node_ladder, "node-slot")
+        if need_e > edge_slot:
+            edge_slot = self._bucket(need_e, self.edge_ladder, "edge-slot")
+        subs = [collate_dense(gs, self.batch_size, node_slot, edge_slot)
+                for gs in graph_lists]
+        out = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *subs)
+        out.stacked = "superbatch"
+        return out
+
     def _make_batch(self, idxs: np.ndarray) -> GraphBatch:
         graphs = self._fetch(idxs)
+        if self.batch_mode == "dense":
+            return self._make_batch_dense(graphs)
         if self.n_devices > 1:
             # data parallelism: D equal sub-batches stacked on a device axis
             from ..parallel.dp import split_for_devices
@@ -525,7 +591,9 @@ class BatchLoader:
         tasks = []
         if self.superbatch > 1:
             K = self.superbatch
-            maker = (self._make_superbatch_dp if self.n_devices > 1
+            maker = (self._make_superbatch_dense
+                     if self.batch_mode == "dense"
+                     else self._make_superbatch_dp if self.n_devices > 1
                      else self._make_superbatch)
             for g in range(0, len(starts) - len(starts) % K, K):
                 chunks = [order[s : s + B] for s in starts[g : g + K]]

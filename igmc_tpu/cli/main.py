@@ -139,7 +139,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "segment aggregation; 'dense' = per-graph node "
                         "slots + all-MXU matmul aggregation (~10-25x "
                         "faster per step on TPU, batching/dense.py). "
-                        "auto: dense for static igmc runs on one device")
+                        "auto: dense for static runs on one device. "
+                        "Explicit 'dense' also works with --dynamic-* "
+                        "(host-collated dense batches: forward-only slot "
+                        "edges upload ~5x fewer bytes than flat)")
     p.add_argument("--flat-aggregate", default="auto",
                    choices=["auto", "segment", "blocked", "pallas"],
                    help="flat-layout R-GCN aggregation engine (igmc only): "

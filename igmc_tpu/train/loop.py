@@ -702,15 +702,23 @@ def train_multiple_epochs(
 
     # Dense-blocked fast path (batch_mode='dense'): device-resident packed
     # graphs assembled into per-bucket [B, n] slot batches on device.
+    # Dynamic datasets (no packed arrays) also run the dense layout since
+    # round 4 — host-collated per-batch (BatchLoader batch_mode='dense'):
+    # forward-only slot edges upload ~5x fewer bytes than doubled flat
+    # arrays and the train step runs the all-MXU dense trunk.
     dense = False
+    dense_dynamic = False
+    if batch_mode == "dense" and not (hasattr(train_dataset, "packed")
+                                      and hasattr(test_dataset, "packed")):
+        if mesh is not None or sharding is not None:
+            raise ValueError("dynamic dense is single-device (static "
+                             "datasets support dense DP via a mesh)")
+        dense_dynamic = True
+        batch_mode = "flat"  # take the generic loader path below
     if batch_mode == "dense":
         if mesh is None and sharding is not None:
             raise ValueError("batch_mode='dense' takes a mesh, not a "
                              "loader sharding")
-        if not (hasattr(train_dataset, "packed")
-                and hasattr(test_dataset, "packed")):
-            raise ValueError("batch_mode='dense' needs static (packed) "
-                             "datasets")
         if mesh is not None and batch_size % mesh.devices.size:
             raise ValueError(
                 f"dense DP needs batch_size ({batch_size}) divisible by "
@@ -766,16 +774,17 @@ def train_multiple_epochs(
 
     train_loader = test_loader = None
     if dd_train is None:
+        loader_mode = "dense" if dense_dynamic else "flat"
         train_loader = BatchLoader(
             train_dataset, batch_size, shuffle=True, seed=seed,
             sharding=sharding, superbatch=sb, n_devices=n_dev,
-            flat_aggregate=flat_aggregate,
+            flat_aggregate=flat_aggregate, batch_mode=loader_mode,
         )
         test_loader = BatchLoader(
             test_dataset, batch_size, shuffle=False, sharding=sharding,
             node_ladder=None, edge_ladder=None,
             superbatch=0 if mesh is not None else sb, n_devices=n_dev,
-            flat_aggregate=flat_aggregate,
+            flat_aggregate=flat_aggregate, batch_mode=loader_mode,
         )
 
     if mesh is not None and not dense:
@@ -1139,16 +1148,19 @@ def test_once(
     dense = (batch_mode == "dense" and sharding is None
              and flat_aggregate is None
              and hasattr(test_dataset, "packed"))
+    loader_mode = "flat"
     if batch_mode == "dense" and not dense:
-        # No silent surprises (round-2 VERDICT weak #4): say WHY the eval
-        # is running on the flat path despite batch_mode='dense'.
-        why = ("a loader sharding was passed (dense eval shards via a mesh "
-               "instead)" if sharding is not None
-               else "flat_aggregate overrides the layout"
-               if flat_aggregate is not None
-               else "the dataset is dynamic (no packed arrays)")
-        print(f"test_once: dense eval unavailable — {why}; "
-              "using the flat path")
+        if sharding is None and flat_aggregate is None:
+            # dynamic dataset: host-collated dense batches (round 4)
+            loader_mode = "dense"
+        else:
+            # No silent surprises (round-2 VERDICT weak #4): say WHY the
+            # eval is running on the flat path despite batch_mode='dense'.
+            why = ("a loader sharding was passed (dense eval shards via a "
+                   "mesh instead)" if sharding is not None
+                   else "flat_aggregate overrides the layout")
+            print(f"test_once: dense eval unavailable — {why}; "
+                  "using the flat path")
     if dense:
         from ..batching.dense import plan_dense_buckets
         from ..batching.device_data import DeviceDataset
@@ -1165,7 +1177,8 @@ def test_once(
                              sharding=sharding,
                              superbatch=(8 if sharding is None
                                          and flat_aggregate is None else 0),
-                             flat_aggregate=flat_aggregate)
+                             flat_aggregate=flat_aggregate,
+                             batch_mode=loader_mode)
         eval_fn = make_eval_step(forward)
     t_start = time.perf_counter()
     if ensemble and checkpoints:

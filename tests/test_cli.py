@@ -282,3 +282,24 @@ def test_cli_compilation_cache(tmp_path, monkeypatch):
     la = (tmp_path / "results" / "flixster_a_testmode" / "log.txt").read_text()
     lb = (tmp_path / "results" / "flixster_b_testmode" / "log.txt").read_text()
     assert la == lb
+
+
+@pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+def test_cli_dynamic_dense_trains(tmp_path, monkeypatch):
+    """--batch-mode dense with a DYNAMIC dataset (round 4): host-collated
+    dense batches train end-to-end through the real argv surface."""
+    from igmc_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    main([
+        "--data-name", "flixster", "--testing", "--debug",
+        "--epochs", "2", "--batch-size", "50",
+        "--max-train-num", "150", "--max-test-num", "60",
+        "--dynamic-dataset", "--batch-mode", "dense",
+    ])
+    res = tmp_path / "results" / "flixster_testmode"
+    log = (res / "log.txt").read_text().strip().splitlines()
+    assert len(log) == 2
+    losses = [float(l.split(",")[1].split(" ")[-1]) for l in log]
+    assert losses[1] < losses[0]
+    assert np.isfinite(float(log[-1].split(" ")[-1]))

@@ -557,3 +557,43 @@ def test_chunked_dense_train_decreases_loss():
         p, s, loss, _ = step(p, s, batch, jax.random.PRNGKey(i))
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_dynamic_dense_loader_matches_flat_eval():
+    """batch_mode='dense' on a DYNAMIC dataset (round 4): host-collated
+    dense batches give the same eval RMSE and raw predictions as the flat
+    loader, and the superbatch stacking path works."""
+    import jax
+
+    from igmc_tpu.batching import DynamicGraphDataset
+    from igmc_tpu.batching.dataset import BatchLoader
+    from igmc_tpu.data import load_data_monti
+    from igmc_tpu.models import IGMCConfig, igmc_forward, igmc_init
+    from igmc_tpu.train.loop import eval_rmse, make_eval_step
+
+    split = load_data_monti("flixster", testing=True)
+    n = 120
+    ds = DynamicGraphDataset(None, split.adj_train,
+                             (split.test_u_indices[:n],
+                              split.test_v_indices[:n]),
+                             split.test_labels[:n], h=1,
+                             class_values=split.class_values)
+    cfg = IGMCConfig(num_relations=len(split.class_values), num_bases=4)
+    params = igmc_init(jax.random.PRNGKey(2), cfg)
+    fwd = lambda p, b, key=None, training=False: igmc_forward(
+        p, b, cfg, key, training)
+    eval_fn = make_eval_step(fwd)
+
+    flat = BatchLoader(ds, 40, shuffle=False, superbatch=0)
+    rmse_flat = eval_rmse(eval_fn, params, flat)
+    dense = BatchLoader(ds, 40, shuffle=False, superbatch=0,
+                        batch_mode="dense")
+    rmse_dense = eval_rmse(eval_fn, params, dense)
+    np.testing.assert_allclose(rmse_dense, rmse_flat, rtol=1e-5)
+
+    dense_sb = BatchLoader(ds, 40, shuffle=False, superbatch=3,
+                           batch_mode="dense")
+    batches = list(dense_sb)
+    assert any(getattr(b, "stacked", None) == "superbatch" for b in batches)
+    rmse_sb = eval_rmse(eval_fn, params, dense_sb)
+    np.testing.assert_allclose(rmse_sb, rmse_flat, rtol=1e-5)
