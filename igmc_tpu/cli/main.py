@@ -464,14 +464,17 @@ def main(argv=None):
         batch_mode = "flat"
         print(f"batch mode: flat (--flat-aggregate {flat_aggregate})")
     elif batch_mode == "auto":
-        # Dense needs packed (static) datasets; every model family has a
-        # dense trunk (igmc: rgcn_dense_apply; gnn/dgcnn: gcn_dense_apply +
-        # dense_sort_pool). Multi-device dense DP additionally needs the
-        # batch to split evenly over the mesh's graph-axis sharding.
+        # Every model family has a dense trunk (igmc: rgcn_dense_apply;
+        # gnn/dgcnn: gcn_dense_apply + dense_sort_pool). Static datasets
+        # run it device-resident; dynamic datasets run it host-collated
+        # (round 4: 1.9-2.5x faster end-to-end than flat, PARITY.md) but
+        # only single-device — dense DP shards packed gid blocks over a
+        # mesh, which needs static data and an evenly-splitting batch.
         static = not (args.dynamic_train or args.dynamic_test
                       or args.dynamic_val)
-        dp_ok = args.n_devices <= 1 or args.batch_size % args.n_devices == 0
-        batch_mode = "dense" if static and dp_ok else "flat"
+        dp_ok = args.n_devices <= 1 or (
+            static and args.batch_size % args.n_devices == 0)
+        batch_mode = "dense" if dp_ok else "flat"
         print(f"batch mode: {batch_mode} (auto)")
     mesh = None
     if args.n_devices > 1:
