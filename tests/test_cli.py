@@ -303,3 +303,24 @@ def test_cli_dynamic_dense_trains(tmp_path, monkeypatch):
     losses = [float(l.split(",")[1].split(" ")[-1]) for l in log]
     assert losses[1] < losses[0]
     assert np.isfinite(float(log[-1].split(" ")[-1]))
+
+
+@pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+def test_cli_dynamic_dense_alternate_model(tmp_path, monkeypatch):
+    """Auto batch-mode now picks dense for dynamic runs (round 4) — the
+    alternate model family (DGCNN) trains through that path too."""
+    from igmc_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    main([
+        "--data-name", "flixster", "--testing", "--debug",
+        "--epochs", "2", "--batch-size", "50",
+        "--max-train-num", "120", "--max-test-num", "50",
+        "--dynamic-dataset", "--model", "dgcnn",
+    ])
+    log = (tmp_path / "results" / "flixster_testmode" / "log.txt"
+           ).read_text().strip().splitlines()
+    assert len(log) == 2
+    losses = [float(l.split(",")[1].split(" ")[-1]) for l in log]
+    assert losses[1] < losses[0]
+    assert np.isfinite(float(log[-1].split(" ")[-1]))
