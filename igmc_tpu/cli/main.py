@@ -165,6 +165,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "buckets = less padded compute per epoch but ~2 "
                         "extra compiled programs each; the split minimizes "
                         "total padded n*e cost (batching/dense.py)")
+    p.add_argument("--dense-chunk", type=int, default=0, metavar="N",
+                   help="giant-batch training (batch-mode dense, static "
+                        "data, single device): take ONE optimizer step per "
+                        "--batch-size graphs, streamed on device in "
+                        "N-graph slices whose intermediates stay "
+                        "VMEM-resident (train/loop.py "
+                        "make_chunked_dense_device_train_step — the "
+                        "HBM-resident path bench.py measures at 1.25x the "
+                        "HBM-streaming bound). Must divide --batch-size. "
+                        "0 = off")
     return p
 
 
@@ -463,6 +473,9 @@ def main(argv=None):
                              "--batch-mode dense (pick one layout)")
         batch_mode = "flat"
         print(f"batch mode: flat (--flat-aggregate {flat_aggregate})")
+    elif batch_mode == "auto" and args.dense_chunk:
+        batch_mode = "dense"
+        print("batch mode: dense (--dense-chunk)")
     elif batch_mode == "auto":
         # Every model family has a dense trunk (igmc: rgcn_dense_apply;
         # gnn/dgcnn: gcn_dense_apply + dense_sort_pool). Static datasets
@@ -476,6 +489,23 @@ def main(argv=None):
             static and args.batch_size % args.n_devices == 0)
         batch_mode = "dense" if dp_ok else "flat"
         print(f"batch mode: {batch_mode} (auto)")
+    if args.dense_chunk:
+        if batch_mode != "dense":
+            raise SystemExit("--dense-chunk needs the dense layout "
+                             "(conflicts with --batch-mode flat / "
+                             "--flat-aggregate)")
+        if args.dynamic_train or args.dynamic_test or args.dynamic_val:
+            raise SystemExit("--dense-chunk needs static (packed) datasets "
+                             "— drop the --dynamic-* flags")
+        if args.n_devices > 1:
+            raise SystemExit("--dense-chunk is single-device; for "
+                             "multi-chip giant batches use --parallel ep "
+                             "or dense DP (--n-devices without "
+                             "--dense-chunk)")
+        if args.dense_chunk < args.batch_size \
+                and args.batch_size % args.dense_chunk:
+            raise SystemExit(f"--dense-chunk ({args.dense_chunk}) must "
+                             f"divide --batch-size ({args.batch_size})")
     mesh = None
     if args.n_devices > 1:
         from ..parallel import make_mesh
@@ -497,7 +527,7 @@ def main(argv=None):
             profile_dir=args.profile_dir or None,
             superbatch=args.superbatch, mesh=mesh,
             batch_mode=batch_mode, dense_buckets=args.dense_buckets,
-            flat_aggregate=flat_aggregate,
+            flat_aggregate=flat_aggregate, dense_chunk=args.dense_chunk,
         )
 
     # resolve_checkpoint accepts both this framework's .ckpt and the
@@ -552,13 +582,15 @@ def main(argv=None):
         rmse = test_once(test_graphs, fwd, params, args.batch_size,
                          ensemble=True, checkpoints=checkpoints,
                          batch_mode=batch_mode,
-                         flat_aggregate=flat_aggregate)
+                         flat_aggregate=flat_aggregate,
+                         dense_chunk=args.dense_chunk)
         print("Ensemble test rmse is: {:.6f}".format(rmse))
     elif args.transfer:
         params_t = load_checkpoint(model_pos, params)
         rmse = test_once(test_graphs, fwd, params, args.batch_size,
                          params=params_t, batch_mode=batch_mode,
-                         flat_aggregate=flat_aggregate)
+                         flat_aggregate=flat_aggregate,
+                         dense_chunk=args.dense_chunk)
         epoch_info = "transfer {}, epochs {}".format(args.transfer, args.epochs)
         print("Test rmse is: {:.6f}".format(rmse))
     else:

@@ -309,6 +309,86 @@ def make_dense_device_train_step(forward: Callable, optimizer,
     return steps
 
 
+def make_chunked_dense_device_train_step(forward: Callable, optimizer,
+                                         node_slot: int, edge_slot: int,
+                                         chunk: int, ARR: float = 0.0,
+                                         with_arr_params: bool = True):
+    """Device-resident GIANT-batch step: same (params, opt_state, loss_acc,
+    dd, [K, B] gid_block, key, step0) interface as
+    make_dense_device_train_step, but each row's B graphs are streamed as
+    [B/chunk, chunk] slices — every slice is assembled on device and its
+    forward rematerialized (jax.checkpoint), so the backward re-derives the
+    slice's layer intermediates in VMEM instead of saving [B, n_slot, *]
+    residuals to HBM. ONE optimizer step per row over the whole-B mean loss
+    (gradient accumulation across slices inside value_and_grad's scan).
+
+    This is the device-resident sibling of make_chunked_dense_train_step
+    (which takes host-collated DenseBatches): identical numerics up to
+    summation order; dropout streams are assigned per slice
+    (fold_in(row_key, slice_index)), so they differ from the unchunked
+    step's per-row stream — documented, matters only with adj_dropout > 0.
+    Single-device (for multi-chip giant batches use EP or dense-DP)."""
+    from ..batching.device_data import assemble_dense
+
+    def chunk_sums(params, dd, gids, kk):
+        batch = assemble_dense(dd, gids, node_slot, edge_slot)
+        preds = forward(params, batch, key=kk, training=True)
+        gmask = batch.graph_mask.astype(jnp.float32)
+        sse = jnp.sum(((preds - batch.y) ** 2) * gmask)
+        return sse, gmask.sum()
+
+    chunk_sums = jax.checkpoint(chunk_sums)
+
+    def loss_fn(params, dd, gid_row, key):
+        gc = gid_row.reshape(-1, chunk)
+
+        def body(acc, xs):
+            gids, ci = xs
+            sse, n = chunk_sums(params, dd, gids,
+                                jax.random.fold_in(key, ci))
+            return (acc[0] + sse, acc[1] + n), None
+
+        (sse, n), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+            (gc, jnp.arange(gc.shape[0])))
+        n = jnp.maximum(n, 1.0)
+        loss = sse / n
+        if ARR != 0.0 and with_arr_params:
+            loss = loss + ARR * arr_regularizer(params)
+        return loss, n
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def steps(params, opt_state, loss_acc, dd, gid_block, key, step0):
+        K = gid_block.shape[0]
+
+        def body(carry, xs):
+            params, opt_state = carry
+            gids, k_idx = xs
+            kk = jax.random.fold_in(key, step0 + k_idx)
+            (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, dd, gids, kk)
+            updates, new_opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+            new_params = optax.apply_updates(params, updates)
+            # All-(-1) padding rows (see make_device_train_step) are
+            # no-ops: select the pre-update state back.
+            live = (gids >= 0).any()
+            sel = lambda a, b: jax.tree_util.tree_map(
+                lambda x, y: jnp.where(live, x, y), a, b)
+            params = sel(new_params, params)
+            opt_state = sel(new_opt_state, opt_state)
+            return ((params, opt_state),
+                    (jnp.where(live, loss, 0.0), jnp.where(live, n, 0.0)))
+
+        (params, opt_state), (losses, ns) = jax.lax.scan(
+            body, (params, opt_state), (gid_block, jnp.arange(K))
+        )
+        return (params, opt_state, loss_acc + jnp.sum(losses * ns),
+                jnp.sum(ns))
+
+    return steps
+
+
 def make_dense_device_eval_step(forward: Callable, node_slot: int,
                                 edge_slot: int, mesh=None):
     """`acc` is a running (sse, cnt) pair threaded (donated) through the
@@ -647,6 +727,7 @@ def train_multiple_epochs(
     batch_mode: str = "flat",
     dense_buckets: int = 3,
     flat_aggregate: Optional[str] = None,
+    dense_chunk: int = 0,
 ):
     """Full training run; returns the final test RMSE.
 
@@ -666,6 +747,14 @@ def train_multiple_epochs(
     With a `mesh`, dense runs data-parallel by sharding the gid block's
     graph axis over 'data' (packed tables replicated; GSPMD inserts the
     gradient psum) — batch_size must divide by the mesh size.
+
+    `dense_chunk` > 0 (dense only, single device) switches to GIANT-batch
+    training: one optimizer step per `batch_size` graphs, streamed on
+    device in `dense_chunk`-graph slices whose layer intermediates stay
+    VMEM-resident (make_chunked_dense_device_train_step) — the
+    HBM-resident regime where the monolithic dense step spills
+    (bench.py hbm_resident_r5*: 2.6e9 edges/s vs the 1.6e7 segment
+    cliff). Eval runs in `dense_chunk`-graph blocks for the same reason.
     """
     optimizer = make_optimizer(lr, weight_decay)
     params = init_params
@@ -715,6 +804,9 @@ def train_multiple_epochs(
                              "datasets support dense DP via a mesh)")
         dense_dynamic = True
         batch_mode = "flat"  # take the generic loader path below
+    if dense_chunk and (batch_mode != "dense" or dense_dynamic):
+        raise ValueError("dense_chunk needs batch_mode='dense' on static "
+                         "(packed) datasets")
     if batch_mode == "dense":
         if mesh is None and sharding is not None:
             raise ValueError("batch_mode='dense' takes a mesh, not a "
@@ -723,6 +815,16 @@ def train_multiple_epochs(
             raise ValueError(
                 f"dense DP needs batch_size ({batch_size}) divisible by "
                 f"the mesh size ({mesh.devices.size})")
+        if dense_chunk:
+            if mesh is not None:
+                raise ValueError("dense_chunk is single-device (use EP or "
+                                 "dense-DP for multi-chip giant batches)")
+            if dense_chunk >= batch_size:
+                dense_chunk = 0  # nothing to stream
+            elif batch_size % dense_chunk:
+                raise ValueError(
+                    f"dense_chunk ({dense_chunk}) must divide "
+                    f"batch_size ({batch_size})")
         from ..batching.dense import plan_dense_buckets
         from ..batching.device_data import DeviceDataset
 
@@ -742,16 +844,27 @@ def train_multiple_epochs(
         te_buckets = plan_dense_buckets(
             test_dataset.node_counts(), test_dataset.edge_counts() // 2,
             max_buckets=dense_buckets)
-        dense_steps = [
-            make_dense_device_train_step(forward, optimizer, b.node_slot,
-                                         b.edge_slot, ARR, mesh=mesh)
-            for b in tr_buckets
-        ]
+        if dense_chunk:
+            dense_steps = [
+                make_chunked_dense_device_train_step(
+                    forward, optimizer, b.node_slot, b.edge_slot,
+                    dense_chunk, ARR)
+                for b in tr_buckets
+            ]
+        else:
+            dense_steps = [
+                make_dense_device_train_step(forward, optimizer, b.node_slot,
+                                             b.edge_slot, ARR, mesh=mesh)
+                for b in tr_buckets
+            ]
         dense_evals = [
             make_dense_device_eval_step(forward, b.node_slot, b.edge_slot,
                                         mesh=mesh)
             for b in te_buckets
         ]
+        # Giant batches would spill eval intermediates too: eval in
+        # chunk-size gid blocks (more scan iterations, same compiled set).
+        dense_eval_bs = dense_chunk if dense_chunk else batch_size
 
     # Device-resident fast path: static (packed) datasets on one device keep
     # the whole dataset in HBM and assemble batches on device; per dispatch
@@ -874,7 +987,7 @@ def train_multiple_epochs(
                 if dense:
                     eval_acc = _dense_device_eval_sums(
                         dense_evals, state.params, dd_test, te_buckets,
-                        batch_size, max(sb, 1))
+                        dense_eval_bs, max(sb, 1))
                 else:
                     eval_acc = _device_eval_sums(dev_eval_fn, state.params,
                                                  dd_test, sb)
@@ -1141,8 +1254,13 @@ def test_once(
     sharding=None,
     batch_mode: str = "flat",
     flat_aggregate: Optional[str] = None,
+    dense_chunk: int = 0,
 ):
-    """Evaluate once — single params or a prediction-averaged ensemble."""
+    """Evaluate once — single params or a prediction-averaged ensemble.
+
+    `dense_chunk` > 0 caps the dense path's per-dispatch gid blocks at that
+    many graphs, keeping a giant `batch_size`'s eval intermediates
+    VMEM-resident (mirrors train_multiple_epochs dense_chunk)."""
     if flat_aggregate in ("segment", "auto"):
         flat_aggregate = None
     dense = (batch_mode == "dense" and sharding is None
@@ -1165,6 +1283,8 @@ def test_once(
         from ..batching.dense import plan_dense_buckets
         from ..batching.device_data import DeviceDataset
 
+        if dense_chunk and dense_chunk < batch_size:
+            batch_size = dense_chunk
         dd = DeviceDataset(test_dataset.packed, 8, 16, batch_size)
         buckets = plan_dense_buckets(test_dataset.node_counts(),
                                      test_dataset.edge_counts() // 2)

@@ -306,6 +306,35 @@ def test_cli_dynamic_dense_trains(tmp_path, monkeypatch):
 
 
 @pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+def test_cli_dense_chunk_giant_batch(tmp_path, monkeypatch):
+    """--dense-chunk: giant-batch training (one optimizer step per
+    --batch-size graphs, streamed in VMEM-resident slices) through the
+    real argv surface, ensemble eval included."""
+    from igmc_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    main([
+        "--data-name", "flixster", "--testing", "--debug",
+        "--epochs", "3", "--batch-size", "64", "--dense-chunk", "16",
+        "--save-interval", "1", "--lr", "1e-2",
+        "--max-train-num", "150", "--max-test-num", "60", "--ensemble",
+    ])
+    res = tmp_path / "results" / "flixster_testmode"
+    log = (res / "log.txt").read_text().strip().splitlines()
+    assert len(log) == 4 and "ensemble of range(" in log[-1]
+    losses = [float(l.split(",")[1].split(" ")[-1]) for l in log[:3]]
+    assert losses[-1] < losses[0]
+    assert np.isfinite(float(log[-1].split(" ")[-1]))
+    # conflicting flags die with a clear error, not a deep traceback
+    with pytest.raises(SystemExit):
+        main(["--data-name", "flixster", "--testing", "--debug",
+              "--dense-chunk", "16", "--batch-mode", "flat"])
+    with pytest.raises(SystemExit):
+        main(["--data-name", "flixster", "--testing", "--debug",
+              "--dense-chunk", "16", "--dynamic-dataset"])
+
+
+@pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
 def test_cli_dynamic_dense_alternate_model(tmp_path, monkeypatch):
     """Auto batch-mode now picks dense for dynamic runs (round 4) — the
     alternate model family (DGCNN) trains through that path too."""

@@ -537,6 +537,85 @@ def test_chunked_dense_train_step_matches_unchunked():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_chunked_dense_device_step_matches_unchunked():
+    """make_chunked_dense_device_train_step (device-resident giant-batch
+    gradient accumulation, the --dense-chunk CLI path) produces the same
+    params / loss sum / count as make_dense_device_train_step on the same
+    [K, B] gid block when the forward is deterministic — including a
+    half-full row and an all-(-1) padding row."""
+    from test_regression import _toy_dataset
+    from igmc_tpu.batching.dense import plan_dense_buckets
+    from igmc_tpu.batching.device_data import DeviceDataset
+    from igmc_tpu.train.loop import (make_chunked_dense_device_train_step,
+                                     make_dense_device_train_step,
+                                     make_optimizer)
+
+    train_ds, _ = _toy_dataset(seed=9, n_links=48)
+    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0)
+    fwd = lambda p, b, key=None, training=False: igmc_forward(
+        p, b, cfg, None, False)
+    opt = make_optimizer(1e-2)
+    bucket = plan_dense_buckets(train_ds.node_counts(),
+                                train_ds.edge_counts() // 2,
+                                max_buckets=1)[0]
+    B = 16
+    blk = np.full((3, B), -1, np.int32)
+    blk[0, : B - 5] = np.arange(B - 5)               # half-full row
+    blk[1, :B] = np.arange(B, 2 * B)                 # row 2 stays all -1
+    dd = DeviceDataset(train_ds.packed, 8, 16, B)
+    results = {}
+    for tag, step in (
+        ("mono", make_dense_device_train_step(
+            fwd, opt, bucket.node_slot, bucket.edge_slot, ARR=0.001)),
+        ("chunk", make_chunked_dense_device_train_step(
+            fwd, opt, bucket.node_slot, bucket.edge_slot, chunk=4,
+            ARR=0.001)),
+    ):
+        p = igmc_init(jax.random.PRNGKey(3), cfg)
+        p, s, loss_sum, n = step(p, opt.init(p), np.zeros((), np.float32),
+                                 dd, jnp.asarray(blk), jax.random.PRNGKey(4),
+                                 jnp.int32(0))
+        results[tag] = (jax.device_get(p), float(loss_sum), float(n))
+    p1, l1, n1 = results["mono"]
+    p2, l2, n2 = results["chunk"]
+    assert n1 == n2 == (B - 5) + B
+    assert l1 == pytest.approx(l2, rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-5)
+
+
+def test_train_multiple_epochs_dense_chunk_matches_unchunked():
+    """train_multiple_epochs(dense_chunk=...) — the --dense-chunk giant-
+    batch CLI path — reproduces the unchunked dense run's final RMSE with a
+    deterministic forward (with any dropout — adjacency or the MLP head's —
+    the chunked step's per-slice key streams differ by design)."""
+    from test_regression import _toy_dataset
+    from igmc_tpu.train import train_multiple_epochs
+
+    train_ds, _ = _toy_dataset(seed=5, n_links=64)
+    test_ds, _ = _toy_dataset(seed=6, n_links=32)
+    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0)
+    fwd = lambda p, b, key=None, training=False: igmc_forward(
+        p, b, cfg, None, False)
+
+    kw = dict(epochs=3, batch_size=32, lr=1e-2, lr_decay_factor=0.1,
+              lr_decay_step_size=20, ARR=0.001, test_freq=1, seed=11,
+              progress=False, superbatch=2, batch_mode="dense")
+    rmse_mono, _ = train_multiple_epochs(
+        train_ds, test_ds, fwd, igmc_init(jax.random.PRNGKey(11), cfg), **kw)
+    rmse_chunk, _ = train_multiple_epochs(
+        train_ds, test_ds, fwd, igmc_init(jax.random.PRNGKey(11), cfg),
+        dense_chunk=8, **kw)
+    assert rmse_chunk == pytest.approx(rmse_mono, abs=2e-4)
+
+    with pytest.raises(ValueError):  # chunk must divide the batch
+        train_multiple_epochs(
+            train_ds, test_ds, fwd, igmc_init(jax.random.PRNGKey(11), cfg),
+            dense_chunk=7, **kw)
+
+
 def test_chunked_dense_train_decreases_loss():
     """End-to-end: the production chunked step (dropout ON) trains."""
     from __graft_entry__ import _synthetic_dense_batch
