@@ -327,9 +327,11 @@ class BatchLoader:
                 raise ValueError("batch_mode='dense' conflicts with "
                                  "flat_aggregate")
             if n_devices > 1:
-                raise ValueError("batch_mode='dense' loader is single-"
-                                 "device (dense DP shards gid blocks via "
-                                 "a mesh instead; train/loop.py)")
+                raise ValueError("batch_mode='dense' does not stack "
+                                 "per-device sub-batches; dense DP shards "
+                                 "the batch graph axis via a `sharding` "
+                                 "(dynamic) or packed gid blocks via a "
+                                 "mesh (static; train/loop.py)")
         self.batch_mode = batch_mode
         # Alternate flat aggregation engines need per-batch host plans
         # (ops/blocked.py; kernels block_align_edges), attached to the batch
@@ -643,8 +645,10 @@ class BatchLoader:
         # pipeline at full speed.
         shd = self.sharding
         if (shd is not None
-                and getattr(batch, "stacked", None) == "superbatch_devices"):
-            # [K, D, ...] scan stacks: the device axis moves to dim 1
+                and getattr(batch, "stacked", None) in ("superbatch_devices",
+                                                        "superbatch")):
+            # [K, D, ...] device stacks / [K, B, ...] dense scan stacks:
+            # the sharded axis moves to dim 1 behind the scan axis
             from jax.sharding import NamedSharding, PartitionSpec
 
             shd = NamedSharding(shd.mesh, PartitionSpec(None, *shd.spec))

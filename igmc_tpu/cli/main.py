@@ -479,14 +479,13 @@ def main(argv=None):
     elif batch_mode == "auto":
         # Every model family has a dense trunk (igmc: rgcn_dense_apply;
         # gnn/dgcnn: gcn_dense_apply + dense_sort_pool). Static datasets
-        # run it device-resident; dynamic datasets run it host-collated
-        # (round 4: 1.9-2.5x faster end-to-end than flat, PARITY.md) but
-        # only single-device — dense DP shards packed gid blocks over a
-        # mesh, which needs static data and an evenly-splitting batch.
-        static = not (args.dynamic_train or args.dynamic_test
-                      or args.dynamic_val)
-        dp_ok = args.n_devices <= 1 or (
-            static and args.batch_size % args.n_devices == 0)
+        # run it device-resident (dense DP shards packed gid blocks over
+        # the mesh); dynamic datasets run it host-collated (round 4:
+        # 1.9-2.5x faster end-to-end than flat, PARITY.md), under DP with
+        # the collated graph axis sharded. Both need an evenly-splitting
+        # batch for DP.
+        dp_ok = (args.n_devices <= 1
+                 or args.batch_size % args.n_devices == 0)
         batch_mode = "dense" if dp_ok else "flat"
         print(f"batch mode: {batch_mode} (auto)")
     if args.dense_chunk:

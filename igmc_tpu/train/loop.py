@@ -799,9 +799,13 @@ def train_multiple_epochs(
     dense_dynamic = False
     if batch_mode == "dense" and not (hasattr(train_dataset, "packed")
                                       and hasattr(test_dataset, "packed")):
-        if mesh is not None or sharding is not None:
-            raise ValueError("dynamic dense is single-device (static "
-                             "datasets support dense DP via a mesh)")
+        if mesh is None and sharding is not None:
+            raise ValueError("dynamic dense takes a mesh, not a loader "
+                             "sharding")
+        if mesh is not None and batch_size % mesh.devices.size:
+            raise ValueError(
+                f"dynamic dense DP needs batch_size ({batch_size}) "
+                f"divisible by the mesh size ({mesh.devices.size})")
         dense_dynamic = True
         batch_mode = "flat"  # take the generic loader path below
     if dense_chunk and (batch_mode != "dense" or dense_dynamic):
@@ -888,19 +892,34 @@ def train_multiple_epochs(
     train_loader = test_loader = None
     if dd_train is None:
         loader_mode = "dense" if dense_dynamic else "flat"
+        # Dense DP shards the GRAPH axis of each host-collated batch over
+        # 'data' (every DenseBatch leaf leads with it), not stacked
+        # per-device sub-batches — so the loader's flat n_devices split
+        # stays off and GSPMD does the rest.
+        loader_ndev = 0 if loader_mode == "dense" else n_dev
         train_loader = BatchLoader(
             train_dataset, batch_size, shuffle=True, seed=seed,
-            sharding=sharding, superbatch=sb, n_devices=n_dev,
+            sharding=sharding, superbatch=sb, n_devices=loader_ndev,
             flat_aggregate=flat_aggregate, batch_mode=loader_mode,
         )
         test_loader = BatchLoader(
             test_dataset, batch_size, shuffle=False, sharding=sharding,
             node_ladder=None, edge_ladder=None,
-            superbatch=0 if mesh is not None else sb, n_devices=n_dev,
+            superbatch=0 if mesh is not None else sb, n_devices=loader_ndev,
             flat_aggregate=flat_aggregate, batch_mode=loader_mode,
         )
 
-    if mesh is not None and not dense:
+    if mesh is not None and dense_dynamic:
+        # Host-collated dense batches arrive with their graph axis sharded
+        # over 'data' and params replicated — the plain jitted steps then
+        # run data-parallel under GSPMD (the gradient psum is inserted for
+        # the global-mean loss), exactly like the device-resident dense-DP
+        # path but without packed tables.
+        step_fn = make_train_step(forward, optimizer, ARR)
+        scan_step_fn = (make_scan_train_step(forward, optimizer, ARR)
+                        if sb > 1 else None)
+        eval_fn = make_eval_step(forward)
+    elif mesh is not None and not dense:
         from ..parallel.dp import make_dp_scan_train_step
 
         fwd = forward

@@ -306,6 +306,28 @@ def test_cli_dynamic_dense_trains(tmp_path, monkeypatch):
 
 
 @pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+def test_cli_dynamic_dense_dp(tmp_path, monkeypatch):
+    """Dynamic dataset + --n-devices: auto batch-mode now picks dense (the
+    host-collated DenseBatch graph axis shards over the mesh) and the run
+    trains end-to-end on the 8-device virtual mesh."""
+    from igmc_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    main([
+        "--data-name", "flixster", "--testing", "--debug",
+        "--epochs", "2", "--batch-size", "48",
+        "--max-train-num", "144", "--max-test-num", "48",
+        "--dynamic-dataset", "--n-devices", "8",
+    ])
+    res = tmp_path / "results" / "flixster_testmode"
+    log = (res / "log.txt").read_text().strip().splitlines()
+    assert len(log) == 2
+    losses = [float(l.split(",")[1].split(" ")[-1]) for l in log]
+    assert losses[1] < losses[0]
+    assert np.isfinite(float(log[-1].split(" ")[-1]))
+
+
+@pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
 def test_cli_dense_chunk_giant_batch(tmp_path, monkeypatch):
     """--dense-chunk: giant-batch training (one optimizer step per
     --batch-size graphs, streamed in VMEM-resident slices) through the

@@ -638,6 +638,50 @@ def test_chunked_dense_train_decreases_loss():
     assert losses[-1] < losses[0]
 
 
+def test_dynamic_dense_dp_train_matches_single_device():
+    """Dynamic datasets on the dense layout train DATA-PARALLEL: the
+    host-collated DenseBatch's graph axis is sharded over 'data' (every
+    leaf leads with it) and the plain jitted steps run under GSPMD, which
+    inserts the gradient psum — no sub-batch stacking, no packed tables.
+    Full-run parity with the single-device dynamic-dense run (same seed =>
+    same shuffle orders and dropout keys; sharding must not change the
+    math), superbatch scan stacks included."""
+    import scipy.sparse as sp
+
+    from test_regression import _toy_matrix
+    from igmc_tpu.batching import DynamicGraphDataset
+    from igmc_tpu.parallel import make_mesh
+    from igmc_tpu.train import train_multiple_epochs
+
+    def dyn(seed, n_links):
+        M = _toy_matrix(seed)
+        A = sp.csr_matrix(M)
+        us, vs = np.nonzero(M)
+        labels = (M[us, vs] - 1).astype(np.int64)
+        return DynamicGraphDataset(
+            None, A, (us[:n_links], vs[:n_links]), labels[:n_links], h=1,
+            class_values=np.arange(1.0, 6.0), backend="numpy")
+
+    train_ds, test_ds = dyn(5, 64), dyn(6, 32)
+    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.2)
+    fwd = lambda p, b, key=None, training=False: igmc_forward(
+        p, b, cfg, key, training)
+    kw = dict(epochs=3, batch_size=16, lr=1e-2, lr_decay_factor=0.1,
+              lr_decay_step_size=20, ARR=0.001, test_freq=1, seed=11,
+              progress=False, superbatch=2, batch_mode="dense")
+    rmse_single, _ = train_multiple_epochs(
+        train_ds, test_ds, fwd, igmc_init(jax.random.PRNGKey(11), cfg), **kw)
+    rmse_dp, _ = train_multiple_epochs(
+        train_ds, test_ds, fwd, igmc_init(jax.random.PRNGKey(11), cfg),
+        mesh=make_mesh(n_data=8), **kw)
+    assert rmse_dp == pytest.approx(rmse_single, abs=1e-4)
+
+    with pytest.raises(ValueError):  # batch must split evenly over the mesh
+        train_multiple_epochs(
+            train_ds, test_ds, fwd, igmc_init(jax.random.PRNGKey(11), cfg),
+            mesh=make_mesh(n_data=8), **{**kw, "batch_size": 12})
+
+
 def test_dynamic_dense_loader_matches_flat_eval():
     """batch_mode='dense' on a DYNAMIC dataset (round 4): host-collated
     dense batches give the same eval RMSE and raw predictions as the flat
