@@ -139,10 +139,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "segment aggregation; 'dense' = per-graph node "
                         "slots + all-MXU matmul aggregation (~10-25x "
                         "faster per step on TPU, batching/dense.py). "
-                        "auto: dense for static runs on one device. "
-                        "Explicit 'dense' also works with --dynamic-* "
-                        "(host-collated dense batches: forward-only slot "
-                        "edges upload ~5x fewer bytes than flat)")
+                        "auto: dense whenever possible — static data "
+                        "device-resident, dynamic data host-collated "
+                        "(forward-only slot edges upload ~5x fewer bytes "
+                        "than flat); both run data-parallel under "
+                        "--n-devices when --batch-size splits evenly")
     p.add_argument("--flat-aggregate", default="auto",
                    choices=["auto", "segment", "blocked", "pallas"],
                    help="flat-layout R-GCN aggregation engine (igmc only): "
