@@ -7,11 +7,14 @@ edge_mask set are counted — padding is excluded (round-1 VERDICT item 3).
 
 `vs_baseline` semantics (the reference repo publishes no machine-readable
 numbers — BASELINE.json published: {}): the ratio of the achieved real-edge
-rate to the HBM-STREAMING SPEED OF LIGHT for the same kernel — the best any
-implementation can do if every edge's data round-trips HBM (gather 4*C B,
-scatter-accumulate 8*C B, 12 B of indices). That bound is a BASELINE (floor
-to beat), not a ceiling: the point of static-shape bucketing is that the
-working set stays VMEM-resident, so values > 1 mean the design goal is met.
+rate to the HBM-STREAMING SPEED OF LIGHT for the same kernel AT THE SAME
+DTYPE — the best any implementation can do if every edge's data round-trips
+HBM (gather C + scatter-accumulate 2C feature elements, 12 B of indices;
+f32 = 12C+12 B/edge, bf16 = 6C+12). Each candidate dtype is judged against
+its own bound and the best ratio is the headline. That bound is a BASELINE
+(floor to beat), not a ceiling: the point of static-shape bucketing is that
+the working set stays VMEM-resident, so values > 1 mean the design goal is
+met.
 The bound's realism is cross-checked by MEASURING the same model at an
 HBM-resident shape (working set >> 16 MB VMEM) — reported as
 `hbm_resident_edges_per_sec` next to the theoretical bound. Target >= 0.8.
@@ -49,11 +52,14 @@ def hbm_bandwidth_bytes_per_sec(device) -> float:
     return 819e9  # conservative default
 
 
-def hbm_roofline_edges_per_sec(device, C: int) -> float:
+def hbm_roofline_edges_per_sec(device, C: int, feat_bytes: int = 4) -> float:
     """Minimum HBM traffic per directed edge if nothing stays on-chip:
-    gather 4*C bytes of source features, scatter-accumulate 2*4*C bytes
-    (read+write), 3 int32 indices."""
-    bytes_per_edge = 4 * C + 2 * 4 * C + 12
+    gather feat_bytes*C of source features, scatter-accumulate
+    2*feat_bytes*C (read+write), 3 int32 indices. The bound is computed at
+    the dtype the measured kernel actually streams (feat_bytes=4 for f32,
+    2 for bf16) so achieved/bound ratios are apples-to-apples — a bf16 rate
+    divided by the f32 bound would overstate the ratio ~2x."""
+    bytes_per_edge = 3 * feat_bytes * C + 12
     return hbm_bandwidth_bytes_per_sec(device) / bytes_per_edge
 
 
@@ -147,14 +153,13 @@ def time_chained(chained, params, batch, K: int, calls: int = 4,
         float(c)  # hard sync: value fetch waits for real execution
         return time.perf_counter() - t0, c
 
-    diffs, uppers = [], []
+    samples = []
     for _ in range(rounds):
         t_lo, c = run(calls, c)
         t_hi, c = run(4 * calls, c)
-        diffs.append((t_hi - t_lo) / (3 * calls * K))
-        uppers.append(t_hi / (4 * calls * K))
-    pos = [d for d in diffs if d > 0]
-    return min(pos) if pos else min(uppers)
+        samples.append(((t_hi - t_lo) / (3 * calls * K),
+                        t_hi / (4 * calls * K)))
+    return best_positive(samples)
 
 
 def best_positive(samples) -> float:
@@ -524,6 +529,12 @@ def main():
     results.update(bench_dense_shape(
         "hbm_resident_r5", 5, 4096, 64, 256, dev, K=8, calls=2,
         train=True, compute_dtype="bfloat16", chunk=256))
+    # f32 twin of the HBM-resident chunked run, so there is an
+    # apples-to-apples achieved/bound ratio at each dtype (the bf16 rate
+    # must be judged against the bf16-byte bound, not the f32 one).
+    results.update(bench_dense_shape(
+        "hbm_resident_r5_f32", 5, 4096, 64, 256, dev, K=8, calls=2,
+        chunk=256))
     results.update(bench_dense_shape(
         "hbm_resident_r5_monolithic", 5, 4096, 64, 256, dev, K=8,
         calls=2, compute_dtype="bfloat16"))
@@ -560,28 +571,39 @@ def main():
         / results["r71_dense_train_step_scanned_ms"], 2)
 
     # Headline: the flagship (dense-blocked) layout's real-edge rate on the
-    # R=5 aggregate, against the HBM-streaming bound for the same content.
-    # Best supported production config: f32 or the bf16 trunk (both ship
-    # behind --compute-dtype with measured RMSE parity).
-    headline = max(results["r5_dense_real_edges_per_sec"],
-                   results["r5_dense_bf16_real_edges_per_sec"])
-    baseline = hbm_roofline_edges_per_sec(dev, C)
+    # R=5 aggregate, against the HBM-streaming bound AT THE SAME DTYPE
+    # (f32 rate / f32 bound, bf16 rate / bf16 bound — a cross-dtype ratio
+    # would overstate bf16 by ~2x). Best ratio wins the headline; both ship
+    # behind --compute-dtype with measured RMSE parity.
+    bound_f32 = hbm_roofline_edges_per_sec(dev, C, 4)
+    bound_bf16 = hbm_roofline_edges_per_sec(dev, C, 2)
+    hl_dtype, headline, baseline = max(
+        [("float32", results["r5_dense_real_edges_per_sec"], bound_f32),
+         ("bfloat16", results["r5_dense_bf16_real_edges_per_sec"],
+          bound_bf16)],
+        key=lambda t: t[1] / t[2])
     detail = {
         "device": str(dev.device_kind),
         "layers": 4, "feature_width": C,
         "headline_layout": "dense-blocked (batching/dense.py); flat "
                            "segment-layout numbers alongside (r5_*)",
+        "headline_dtype": hl_dtype,
         "baseline_semantics": (
             "achieved real-edge rate / HBM-streaming speed-of-light "
-            "for this kernel (gather 4C + scatter 8C + 12 idx bytes "
-            "per edge at full HBM bandwidth). A floor to beat, not a "
-            "ceiling: >1 means the VMEM-resident bucketed design "
-            "outruns any HBM-streaming implementation. Target >= 0.8."),
-        "hbm_streaming_bound_edges_per_sec": round(baseline, 1),
-        "hbm_resident_measured_edges_per_sec": results[
-            "hbm_resident_r5_real_edges_per_sec"],  # dense-blocked engine
-        "hbm_resident_vs_bound": round(
-            results["hbm_resident_r5_real_edges_per_sec"] / baseline, 4),
+            "for this kernel at the SAME dtype (gather C + scatter 2C "
+            "feature elements + 12 idx bytes per edge at full HBM "
+            "bandwidth). A floor to beat, not a ceiling: >1 means the "
+            "VMEM-resident bucketed design outruns any HBM-streaming "
+            "implementation of the dtype it runs in. Target >= 0.8."),
+        "hbm_streaming_bound_f32_edges_per_sec": round(bound_f32, 1),
+        "hbm_streaming_bound_bf16_edges_per_sec": round(bound_bf16, 1),
+        # Chunked dense engine measured at an HBM-resident shape, each
+        # dtype judged against its own bound.
+        "hbm_resident_vs_bound_f32": round(
+            results["hbm_resident_r5_f32_real_edges_per_sec"] / bound_f32,
+            4),
+        "hbm_resident_vs_bound_bf16": round(
+            results["hbm_resident_r5_real_edges_per_sec"] / bound_bf16, 4),
         **results,
     }
     # Detail first; the compact machine-readable headline is the FINAL line

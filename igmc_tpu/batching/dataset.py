@@ -162,6 +162,7 @@ class StaticGraphDataset:
         max_num: Optional[int] = None,
         seed: int = 0,
         backend: str = "auto",
+        progress: bool = True,
     ):
         self.root = root
         links, labels = _apply_max_num(links, labels, max_num)
@@ -202,7 +203,7 @@ class StaticGraphDataset:
             graphs = extract_many(
                 links, labels, A, h, sample_ratio, max_nodes_per_hop,
                 _densify(u_features), _densify(v_features), class_values,
-                seed=seed, progress=True, backend=backend,
+                seed=seed, progress=progress, backend=backend,
             )
             self.packed = _PackedGraphs(graphs)
             if cache:

@@ -413,6 +413,11 @@ def main(argv=None):
         if args.model != "igmc":
             raise SystemExit("--parallel ep implements the IGMC model "
                              "(see parallel/ep.py); use --model igmc")
+        if args.dense_chunk:
+            raise SystemExit("--dense-chunk is the single-device "
+                             "giant-batch path; under --parallel ep the "
+                             "giant batch is already edge-partitioned "
+                             "across devices — drop --dense-chunk")
         from ..parallel import make_mesh
 
         D = max(args.n_devices, 1)
@@ -490,6 +495,9 @@ def main(argv=None):
         batch_mode = "dense" if dp_ok else "flat"
         print(f"batch mode: {batch_mode} (auto)")
     if args.dense_chunk:
+        if args.dense_chunk < 1:
+            raise SystemExit(f"--dense-chunk must be a positive graph "
+                             f"count, got {args.dense_chunk}")
         if batch_mode != "dense":
             raise SystemExit("--dense-chunk needs the dense layout "
                              "(conflicts with --batch-mode flat / "

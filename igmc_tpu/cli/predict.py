@@ -64,19 +64,34 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def read_pairs(path: str):
+    """Parse (user, item) index pairs: one pair per line, separated by
+    comma, tab, or whitespace. Blank lines, '#' comments, and a single
+    leading header row (e.g. 'user,item') are skipped."""
     fh = sys.stdin if path == "-" else open(path)
     us, vs = [], []
+    header_ok = True  # at most one leading non-numeric (header) row
     try:
-        for line in fh:
+        for lineno, line in enumerate(fh, 1):
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
-            a, b = line.replace("\t", ",").split(",")[:2]
-            us.append(int(a))
-            vs.append(int(b))
+            fields = line.replace(",", " ").replace("\t", " ").split()
+            try:
+                a, b = int(fields[0]), int(fields[1])
+            except (IndexError, ValueError):
+                if header_ok and not us:  # tolerate one CSV header row
+                    header_ok = False
+                    continue
+                raise SystemExit(
+                    f"{path}:{lineno}: expected 'user,item' integer pair, "
+                    f"got {line!r}")
+            us.append(a)
+            vs.append(b)
     finally:
         if fh is not sys.stdin:  # never close the process's stdin
             fh.close()
+    if not us:
+        raise SystemExit(f"{path}: no (user, item) pairs found")
     return np.asarray(us, np.int64), np.asarray(vs, np.int64)
 
 

@@ -296,6 +296,7 @@ class Predictor:
         ds = StaticGraphDataset(
             None, self.adj, (users, items),
             np.zeros(len(users), np.int64), h=self.h,
+            progress=False,  # serving hot path: no per-call tqdm bars
             sample_ratio=self.sample_ratio,
             max_nodes_per_hop=self.max_nodes_per_hop,
             u_features=self.u_features, v_features=self.v_features,

@@ -60,14 +60,14 @@ def timeit(fn, *args, iters=8):
         float(np.asarray(o).sum())  # hard sync: fetch waits for execution
         return time.perf_counter() - t0, o
 
-    diffs, uppers = [], []
+    from bench import best_positive
+
+    samples = []
     for _ in range(3):
         t_lo, _ = run(iters)
         t_hi, out = run(4 * iters)
-        diffs.append((t_hi - t_lo) / (3 * iters))
-        uppers.append(t_hi / (4 * iters))
-    pos = [d for d in diffs if d > 0]
-    return (min(pos) if pos else min(uppers)), out
+        samples.append(((t_hi - t_lo) / (3 * iters), t_hi / (4 * iters)))
+    return best_positive(samples), out
 
 
 def main():

@@ -354,6 +354,15 @@ def test_cli_dense_chunk_giant_batch(tmp_path, monkeypatch):
     with pytest.raises(SystemExit):
         main(["--data-name", "flixster", "--testing", "--debug",
               "--dense-chunk", "16", "--dynamic-dataset"])
+    # non-positive chunk dies at validation, not inside jit tracing
+    with pytest.raises(SystemExit):
+        main(["--data-name", "flixster", "--testing", "--debug",
+              "--batch-size", "50", "--dense-chunk", "-50"])
+    # under --parallel ep the giant batch is already partitioned; the flag
+    # must error rather than be silently ignored
+    with pytest.raises(SystemExit):
+        main(["--data-name", "flixster", "--testing", "--debug",
+              "--parallel", "ep", "--dense-chunk", "16"])
 
 
 @pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")

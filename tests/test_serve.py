@@ -340,3 +340,31 @@ def test_pad_packed_high_water_caps():
     caps3 = dict(caps)
     _pad_packed(ds2.packed, caps)
     assert caps == caps3  # stable: repeats mint no new shapes
+
+
+def test_read_pairs_formats(tmp_path):
+    """The pairs parser accepts comma/tab/space separators, skips blanks,
+    comments, and one header row, and names the offending line on bad
+    input (round-4 review finding)."""
+    from igmc_tpu.cli.predict import read_pairs
+
+    f = tmp_path / "pairs.csv"
+    f.write_text("user,item\n# comment\n1,2\n3\t4\n5 6\n\n7, 8\n")
+    us, vs = read_pairs(str(f))
+    np.testing.assert_array_equal(us, [1, 3, 5, 7])
+    np.testing.assert_array_equal(vs, [2, 4, 6, 8])
+
+    bad = tmp_path / "bad.csv"
+    bad.write_text("1,2\nnot-a-pair\n")
+    with pytest.raises(SystemExit, match="bad.csv:2"):
+        read_pairs(str(bad))
+
+    short = tmp_path / "short.csv"
+    short.write_text("1,2\n3\n")
+    with pytest.raises(SystemExit, match="short.csv:2"):
+        read_pairs(str(short))
+
+    empty = tmp_path / "empty.csv"
+    empty.write_text("# nothing\n")
+    with pytest.raises(SystemExit, match="no \\(user, item\\) pairs"):
+        read_pairs(str(empty))
