@@ -21,15 +21,26 @@ import numpy as np
 import scipy.sparse as sp
 
 
-def raw_data_dir() -> str:
-    """Directory holding raw dataset folders (flixster/, ml_100k/, ...)."""
+def raw_data_dir(dataset: str = None) -> str:
+    """Directory holding raw dataset folders (flixster/, ml_100k/, ...).
+
+    Resolution is PER DATASET when a name is given: a local `raw_data/`
+    that was created for one dataset (e.g. a MovieLens split pickle cache)
+    must not hide the read-only reference bundles of the others."""
     d = os.environ.get("IGMC_RAW_DATA")
     if d:
         return d
-    # Fall back to the read-only reference bundle if present and no local copy.
     local = os.path.join(os.getcwd(), "raw_data")
-    if not os.path.isdir(local) and os.path.isdir("/root/reference/raw_data"):
-        return "/root/reference/raw_data"
+    ref = "/root/reference/raw_data"
+    if dataset is not None:
+        if os.path.isdir(os.path.join(local, dataset)):
+            return local
+        if os.path.isdir(os.path.join(ref, dataset)):
+            return ref
+        return local
+    # Fall back to the read-only reference bundle if present and no local copy.
+    if not os.path.isdir(local) and os.path.isdir(ref):
+        return ref
     return local
 
 
@@ -203,7 +214,7 @@ def load_data(fname: str, seed: int = 1234, verbose: bool = True):
 
     u_features = None
     v_features = None
-    data_dir = os.path.join(raw_data_dir(), fname)
+    data_dir = os.path.join(raw_data_dir(fname), fname)
 
     if fname == "ml_100k":
         download_dataset(fname, ["/u.data", "/u.item", "/u.user"], data_dir)

@@ -134,7 +134,8 @@ def load_data_monti(
     Otraining/Otest masks define train/test; 20% of training links (after a
     seed-42 shuffle) become validation.
     """
-    path_dataset = os.path.join(raw_data_dir(), dataset, "training_test_dataset.mat")
+    path_dataset = os.path.join(raw_data_dir(dataset), dataset,
+                                "training_test_dataset.mat")
 
     M = load_matlab_file(path_dataset, "M")
     if rating_map is not None:
@@ -223,7 +224,7 @@ def load_official_trainvaltest_split(
     """
     import pandas as pd
 
-    data_dir = os.path.join(raw_data_dir(), dataset)
+    data_dir = os.path.join(raw_data_dir(dataset), dataset)
     download_dataset(dataset, ["/u1.base", "/u1.test", "/u.item", "/u.user"], data_dir)
 
     dtypes = {

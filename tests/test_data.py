@@ -177,3 +177,20 @@ def test_summarize_fdy_parses_results(tmp_path):
             f"test rmse {rmse:.6f}\n")
     out = mod.summarize(str(tmp_path), datasets=("flixster",))
     assert np.allclose(sorted(out["flixster"]), [0.86, 0.88, 0.90])
+
+
+@pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+def test_raw_data_dir_per_dataset_fallback(tmp_path, monkeypatch):
+    """A local raw_data/ created for ONE dataset (e.g. a MovieLens split
+    pickle cache in cwd) must not hide the read-only reference bundles of
+    the others (round-4 regression: an ml_1m cache dir broke flixster)."""
+    from igmc_tpu.data import load_data_monti, raw_data_dir
+
+    monkeypatch.delenv("IGMC_RAW_DATA", raising=False)
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "raw_data" / "ml_1m").mkdir(parents=True)
+
+    assert raw_data_dir("ml_1m") == str(tmp_path / "raw_data")
+    assert raw_data_dir("flixster") == "/root/reference/raw_data"
+    split = load_data_monti("flixster", testing=True)
+    assert len(split.class_values) == 10
