@@ -26,6 +26,18 @@ import numpy as np
 from .batch import GraphBatch, topk_sum_bound
 
 
+def _compact_int(a: np.ndarray) -> np.ndarray:
+    """Narrowest of int8/int16/int32 that holds `a` losslessly."""
+    if a.size == 0:
+        return a.astype(np.int32)
+    lo, hi = int(a.min()), int(a.max())
+    if -128 <= lo and hi <= 127:
+        return a.astype(np.int8)
+    if -32768 <= lo and hi <= 32767:
+        return a.astype(np.int16)
+    return a.astype(np.int32)
+
+
 class DeviceDataset:
     """The packed subgraph arrays, device-resident, plus static metadata."""
 
@@ -48,10 +60,20 @@ class DeviceDataset:
                 return jax.device_put(x, sharding)
         else:
             put = jax.device_put
-        self.node_label = put(packed.node_label.astype(np.int32))
-        self.src = put(packed.src.astype(np.int32))
-        self.dst = put(packed.dst.astype(np.int32))   # already +num_u local
-        self.etype = put(packed.etype.astype(np.int32))
+        if packed.edge_offsets[-1] >= 2**31 or packed.node_offsets[-1] >= 2**31:
+            raise ValueError(
+                "packed dataset exceeds int32 addressing "
+                f"({int(packed.edge_offsets[-1])} edges); shard it first")
+        # Narrowest lossless integer dtype per table: node_label/etype are
+        # tiny enums and src/dst are GRAPH-LOCAL indices, so int8/int16
+        # usually suffice — at ml_1m full scale this halves the resident
+        # tables (24 GB int32 -> ~11 GB), the difference between fitting
+        # one chip's HBM or not. assemble_* upcasts to int32 after the
+        # gather, so downstream programs are unchanged.
+        self.node_label = put(_compact_int(packed.node_label))
+        self.src = put(_compact_int(packed.src))
+        self.dst = put(_compact_int(packed.dst))  # already +num_u local
+        self.etype = put(_compact_int(packed.etype))
         self.node_off = put(packed.node_offsets.astype(np.int32))
         self.edge_off = put(packed.edge_offsets.astype(np.int32))
         self.num_u = put(packed.num_u.astype(np.int32))
@@ -130,9 +152,14 @@ def assemble_batch(dd: DeviceDataset, gids) -> GraphBatch:
     eb, elocal, evalid = _ragged_slots(counts_e, starts_e, ef_pad)
     epos = dd.edge_off[g[eb]] + elocal
     base = starts_n[eb]
-    f_src = jnp.where(evalid, base + dd.src[epos], 0).astype(jnp.int32)
-    f_dst = jnp.where(evalid, base + dd.dst[epos], 0).astype(jnp.int32)
-    f_type = jnp.where(evalid, dd.etype[epos], 0).astype(jnp.int32)
+    # tables may be int8/int16-compacted: upcast right after the gather
+    f_src = jnp.where(evalid,
+                      base + dd.src[epos].astype(jnp.int32),
+                      0).astype(jnp.int32)
+    f_dst = jnp.where(evalid,
+                      base + dd.dst[epos].astype(jnp.int32),
+                      0).astype(jnp.int32)
+    f_type = jnp.where(evalid, dd.etype[epos].astype(jnp.int32), 0)
 
     edge_src = jnp.concatenate([f_src, f_dst])
     edge_dst = jnp.concatenate([f_dst, f_src])
@@ -188,11 +215,12 @@ def assemble_dense(dd: DeviceDataset, gids, node_slot: int,
     e = jnp.arange(E, dtype=jnp.int32)[None, :]
     evalid = (e < counts_e) & gmask[:, None]
     epos = dd.edge_off[g][:, None] + jnp.where(evalid, e, 0)
-    src_p = dd.src[epos]                                   # user-local
-    dst_p = dd.dst[epos]                                   # num_u + item-local
+    # tables may be int8/int16-compacted: upcast right after the gather
+    src_p = dd.src[epos].astype(jnp.int32)                 # user-local
+    dst_p = dd.dst[epos].astype(jnp.int32)                 # num_u + item-local
     edge_src = jnp.where(evalid, jnp.where(src_p == 0, 0, src_p + 1), 0)
     edge_dst = jnp.where(evalid, jnp.where(dst_p == nu, 1, dst_p), 0)
-    edge_type = jnp.where(evalid, dd.etype[epos], 0).astype(jnp.int32)
+    edge_type = jnp.where(evalid, dd.etype[epos].astype(jnp.int32), 0)
 
     y = jnp.where(gmask, dd.y[g], 0.0).astype(jnp.float32)
     return DenseBatch(

@@ -187,3 +187,34 @@ def test_dead_row_step_is_noop():
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_tables_compact_dtypes():
+    """The resident tables store the narrowest lossless integer dtype
+    (src/dst are graph-local, labels/etypes tiny enums) — at ml_1m full
+    scale this halves HBM residency, the difference between fitting one
+    chip or not. Assembly upcasts after the gather, so outputs are
+    unchanged (parity is covered by the tests above, which now run
+    against compacted tables)."""
+    _, packed = make_packed()
+    B = 8
+    npad, epad = capacity_bound(np.diff(packed.node_offsets),
+                                2 * np.diff(packed.edge_offsets), B)
+    dd = DeviceDataset(packed, npad, epad, B)
+    assert dd.node_label.dtype == jnp.int8       # labels are 0..2h+1
+    assert dd.etype.dtype == jnp.int8            # 5 relations
+    assert dd.src.dtype in (jnp.int8, jnp.int16)  # graph-local indices
+    assert dd.dst.dtype in (jnp.int8, jnp.int16)
+    batch = jax.jit(assemble_batch, static_argnums=())(
+        dd, jnp.arange(B, dtype=jnp.int32))
+    assert batch.edge_src.dtype == jnp.int32     # downstream sees int32
+    assert batch.node_label.dtype == jnp.int32
+
+    # int32 addressing guard: oversized offsets refuse loudly
+    import pytest
+    big = _PackedGraphs([])
+    big.__dict__.update(packed.__dict__)
+    big.edge_offsets = packed.edge_offsets.copy().astype(np.int64)
+    big.edge_offsets[-1] = 2**31
+    with pytest.raises(ValueError, match="int32 addressing"):
+        DeviceDataset(big, npad, epad, B)
