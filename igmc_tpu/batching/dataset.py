@@ -52,6 +52,11 @@ def _adjacency_digest(A, labels, class_values) -> str:
     return h.hexdigest()[:10]
 
 
+# Compress .npz caches only up to this many raw bytes (zlib ~3 MB/s makes
+# bigger writes cost more wall-clock than the disk it saves).
+NPZ_COMPRESS_MAX_BYTES = 4 << 30
+
+
 def _apply_max_num(links, labels, max_num):
     if max_num is None:
         return links, labels
@@ -136,7 +141,14 @@ class _PackedGraphs:
         if self.u_feat is not None:
             d["u_feat"] = self.u_feat
             d["v_feat"] = self.v_feat
-        np.savez_compressed(path, **d)
+        # zlib at ~3 MB/s turns a full-scale ml_1m cache write (22 GB of
+        # packed arrays) into tens of minutes; past a few GB, disk is
+        # cheaper than the user's time.
+        raw_bytes = sum(a.nbytes for a in d.values())
+        if raw_bytes > NPZ_COMPRESS_MAX_BYTES:
+            np.savez(path, **d)
+        else:
+            np.savez_compressed(path, **d)
 
     @classmethod
     def load(cls, path: str) -> "_PackedGraphs":

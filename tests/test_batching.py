@@ -217,3 +217,20 @@ def test_static_cache_keyed_by_extraction_params(tmp_path):
     # and the h=1 rerun still hits its own cache (one file per key)
     again = StaticGraphDataset(root, A, links, labels[:20], h=1, **kw)
     np.testing.assert_array_equal(again.node_counts(), h1.node_counts())
+
+
+def test_packed_cache_uncompressed_roundtrip(tmp_path, monkeypatch):
+    """Giant datasets skip zlib on the .npz cache (a full-scale ml_1m
+    write took tens of minutes compressed); load() reads both formats."""
+    import igmc_tpu.batching.dataset as dsmod
+    from igmc_tpu.batching.dataset import _PackedGraphs
+
+    graphs, _ = make_graphs(6)
+    packed = _PackedGraphs(graphs)
+    monkeypatch.setattr(dsmod, "NPZ_COMPRESS_MAX_BYTES", 0)
+    p = str(tmp_path / "big.npz")
+    packed.save(p)
+    back = _PackedGraphs.load(p)
+    np.testing.assert_array_equal(back.src, packed.src)
+    np.testing.assert_array_equal(back.node_offsets, packed.node_offsets)
+    np.testing.assert_array_equal(back.y, packed.y)
