@@ -21,6 +21,11 @@ import numpy as np
 import scipy.sparse as sp
 
 
+# Rows per streamed chunk of the ml_25m CSV read (patchable in tests to
+# force the multi-chunk path on small fixtures).
+ML25M_CHUNK_ROWS = 1_000_000
+
+
 def raw_data_dir(dataset: str = None) -> str:
     """Directory holding raw dataset folders (flixster/, ml_100k/, ...).
 
@@ -47,13 +52,14 @@ def raw_data_dir(dataset: str = None) -> str:
 def map_data(data):
     """Remap ids to contiguous [0, N) by sorted original id.
 
-    Returns (mapped_array, id_dict, n).
+    Returns (mapped_array, id_dict, n). Same semantics as the reference's
+    dict-comprehension loop (/root/reference/data_utils.py:28-38) — the new id
+    is the rank of the old id in sorted-unique order — but vectorized with
+    np.unique so the 25M-row ml_25m remap takes seconds, not minutes.
     """
-    uniq = list(set(data))
-    id_dict = {old: new for new, old in enumerate(sorted(uniq))}
-    data = np.array([id_dict[x] for x in data])
-    n = len(uniq)
-    return data, id_dict, n
+    uniq, inv = np.unique(np.asarray(data), return_inverse=True)
+    id_dict = {old: new for new, old in enumerate(uniq.tolist())}
+    return inv.astype(np.int64), id_dict, len(uniq)
 
 
 def download_dataset(dataset: str, files, data_dir: str) -> None:
@@ -292,15 +298,25 @@ def load_data(fname: str, seed: int = 1234, verbose: bool = True):
 
     elif fname == "ml_25m":
         # Pre-processed movielens25M.csv: uid,iid,cid,time,rating sorted by time.
-        data = pd.read_csv(
-            data_dir + "/movielens25M.csv", header=0, usecols=["uid", "iid", "rating"]
-        )
-        data_array = data.values
-        u_nodes_ratings, u_dict, num_users = map_data(data_array[:, 0])
-        v_nodes_ratings, v_dict, num_items = map_data(data_array[:, 1])
-        u_nodes_ratings = u_nodes_ratings.astype(np.int64)
-        v_nodes_ratings = v_nodes_ratings.astype(np.int64)
-        ratings = data_array[:, 2].astype(np.float32)
+        # Streamed in bounded chunks (the reference also chunks the read,
+        # /root/reference/data_utils.py:343-357, but concatenates into one
+        # object DataFrame before .values — several GB of transient host RAM
+        # at 25M rows). Here each chunk is narrowed to typed numpy columns
+        # immediately, so peak memory is ~the final arrays plus one chunk.
+        u_parts, v_parts, r_parts = [], [], []
+        for chunk in pd.read_csv(
+            data_dir + "/movielens25M.csv", header=0,
+            usecols=["uid", "iid", "rating"],
+            dtype={"uid": np.int64, "iid": np.int64, "rating": np.float32},
+            chunksize=ML25M_CHUNK_ROWS,
+        ):
+            u_parts.append(chunk["uid"].to_numpy())
+            v_parts.append(chunk["iid"].to_numpy())
+            r_parts.append(chunk["rating"].to_numpy())
+        u_nodes_ratings, u_dict, num_users = map_data(np.concatenate(u_parts))
+        v_nodes_ratings, v_dict, num_items = map_data(np.concatenate(v_parts))
+        del u_parts, v_parts
+        ratings = np.concatenate(r_parts).astype(np.float32)
 
     else:
         raise ValueError("Dataset name not recognized: " + fname)

@@ -103,6 +103,31 @@ def write_ml1m_format(out_root: str, n_users: int = 6040,
     return data_dir
 
 
+def write_ml25m_format(out_root: str, n_users: int = 162_541,
+                       n_movies: int = 59_047, n_ratings: int = 25_000_095,
+                       seed: int = 0) -> str:
+    """Write ml_25m/movielens25M.csv under `out_root` in the pre-processed
+    schema the loader streams (data/loaders.py ml_25m branch; reference
+    /root/reference/data_utils.py:343-357): header `uid,iid,cid,time,rating`,
+    rows sorted by time (the ml_25m split is time-ordered,
+    data/splits.py:371). Ratings are on the half-star 0.5..5.0 scale like
+    the real ML-25M. Deterministic in (sizes, seed)."""
+    data_dir = os.path.join(out_root, "ml_25m")
+    os.makedirs(data_dir, exist_ok=True)
+    rng = np.random.default_rng(seed + 3)
+    u, m, r = synthesize_ratings(n_users, n_movies, n_ratings, seed)
+    # half-star scale: jitter the planted 1..5 integer signal by ±0.5
+    r = np.clip(r.astype(np.float64) + 0.5 * rng.integers(-1, 2, len(u)),
+                0.5, 5.0)
+    ts = np.sort(rng.integers(789_652_000, 1_574_300_000, len(u)))
+    with open(os.path.join(data_dir, "movielens25M.csv"), "w") as f:
+        f.write("uid,iid,cid,time,rating\n")
+        f.writelines(
+            f"{uu + 1},{mm + 1},0,{tt},{rr:g}\n"
+            for uu, mm, rr, tt in zip(u, m, r, ts))
+    return data_dir
+
+
 def write_ml100k_format(out_root: str, n_users: int = 943,
                         n_movies: int = 1682, n_ratings: int = 100_000,
                         seed: int = 0) -> str:

@@ -167,6 +167,51 @@ def test_random_split_ml10m_and_time_split_ml25m(ml_root):
     assert len(t.test_labels) == n - int(n * 0.8)
 
 
+def test_map_data_matches_reference_semantics():
+    """map_data is vectorized (np.unique) but must keep the reference's
+    dict-loop semantics (/root/reference/data_utils.py:28-38): new id =
+    rank of old id in sorted-unique order."""
+    from igmc_tpu.data.loaders import map_data
+
+    data = np.array([42, 7, 42, 1000, 7, 3])
+    mapped, id_dict, n = map_data(data)
+    assert n == 4
+    assert id_dict == {3: 0, 7: 1, 42: 2, 1000: 3}
+    np.testing.assert_array_equal(mapped, [2, 1, 2, 3, 1, 0])
+    assert mapped.dtype == np.int64
+
+
+def test_ml25m_chunked_loader_and_time_split(tmp_path, monkeypatch):
+    """The ml_25m branch streams the CSV in bounded chunks. Forcing a tiny
+    chunk size must produce arrays identical to a one-chunk read, and the
+    time-ordered split must come out of the synthetic generator's sorted
+    timestamps unchanged."""
+    from igmc_tpu.data import loaders
+    from igmc_tpu.data import create_trainvaltest_split
+    from igmc_tpu.data.synthetic import write_ml25m_format
+
+    raw_root = tmp_path / "raw"
+    write_ml25m_format(str(raw_root), n_users=200, n_movies=150,
+                       n_ratings=8000, seed=0)
+    monkeypatch.setenv("IGMC_RAW_DATA", str(raw_root))
+
+    monkeypatch.setattr(loaders, "ML25M_CHUNK_ROWS", 10**9)
+    one = loaders.load_data("ml_25m", verbose=False)
+    monkeypatch.setattr(loaders, "ML25M_CHUNK_ROWS", 997)
+    many = loaders.load_data("ml_25m", verbose=False)
+    assert one[0] == many[0] and one[1] == many[1]
+    for a, b in zip(one[2:5], many[2:5]):
+        np.testing.assert_array_equal(a, b)
+    # half-star scale like the real ML-25M
+    assert many[4].min() >= 0.5 and many[4].max() <= 5.0
+    assert len(np.unique(many[4])) > 5
+
+    s = create_trainvaltest_split("ml_25m", testing=False, verbose=False)
+    n = len(many[4])
+    assert len(s.train_labels) == int(n * 0.7)
+    assert len(s.test_labels) == n - int(n * 0.8)
+
+
 def test_pickle_cache_roundtrip(ml_root, tmp_path):
     from igmc_tpu.data import create_trainvaltest_split
 
