@@ -21,3 +21,18 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# Test tiers: `-m quick` is the <5-minute gate; `-m slow` the long tail.
+# Every test not explicitly marked slow is auto-marked quick, so the two
+# tiers always partition the suite (README "Running the tests").
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)

@@ -1,6 +1,7 @@
 """ops/blocked.py oracle tests: the scatter-free blocked aggregate must
 match the flat segment formulation (forward AND gradients) exactly."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -182,6 +183,7 @@ def _collated_batch(n_graphs=12, node_pad=320, edge_pad=2048, seed=0):
     return collate(graphs, n_graphs, node_pad, edge_pad)
 
 
+@pytest.mark.slow
 def test_igmc_forward_blocked_matches_segment():
     from igmc_tpu.models import IGMCConfig, igmc_forward, igmc_init
 
@@ -229,6 +231,7 @@ def test_igmc_blocked_trains_with_adj_dropout():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_loader_attaches_blocked_plans_end_to_end():
     """BatchLoader(flat_aggregate='blocked') + train_multiple_epochs: the
     full flat pipeline runs on the blocked engine and learns."""
@@ -304,6 +307,7 @@ def test_loader_pallas_eval_parity_interpret():
     assert abs(r_p - r_s) < 1e-4
 
 
+@pytest.mark.slow
 def test_igmc_forward_blocked_relmean_matches_segment():
     from igmc_tpu.models import IGMCConfig, igmc_forward, igmc_init
 

@@ -12,6 +12,7 @@ MONTI_AVAILABLE = os.path.isdir("/root/reference/raw_data/flixster") or \
 
 
 @pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+@pytest.mark.slow
 def test_cli_debug_run(tmp_path, monkeypatch):
     from igmc_tpu.cli.main import main
 
@@ -38,6 +39,7 @@ def test_cli_debug_run(tmp_path, monkeypatch):
 
 
 @pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+@pytest.mark.slow
 def test_cli_ensemble_and_transfer(tmp_path, monkeypatch):
     """Train a tiny douban model with checkpoints, then (a) ensemble it and
     (b) transfer it zero-shot to flixster via post_rating_map bucketing —
@@ -65,6 +67,7 @@ def test_cli_ensemble_and_transfer(tmp_path, monkeypatch):
 
 
 @pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+@pytest.mark.slow
 def test_cli_profile_dir_writes_trace(tmp_path, monkeypatch):
     """--profile-dir captures a jax.profiler trace of one epoch."""
     from igmc_tpu.cli.main import main
@@ -82,6 +85,7 @@ def test_cli_profile_dir_writes_trace(tmp_path, monkeypatch):
 
 
 @pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+@pytest.mark.slow
 def test_cli_tpu_knobs(tmp_path, monkeypatch):
     """--compute-dtype bfloat16 / --conv-strategy basis-mix / --superbatch 4
     (the measured TPU wins, round-1 VERDICT item 7) train end-to-end and
@@ -101,6 +105,7 @@ def test_cli_tpu_knobs(tmp_path, monkeypatch):
     assert np.isfinite(rmse) and rmse < 4.0
 
 
+@pytest.mark.slow
 def test_cli_ml100k_official_split_end_to_end(tmp_path, monkeypatch):
     """The full ml_100k path through the CLI — load_official_trainvaltest_split
     -> side features -> static datasets -> train -> ensemble — on the
@@ -146,6 +151,7 @@ def test_cli_ml100k_official_split_end_to_end(tmp_path, monkeypatch):
 
 
 @pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+@pytest.mark.slow
 def test_cli_transfer_from_reference_pth_dir(tmp_path, monkeypatch):
     """--transfer/--ensemble against a results dir holding ONLY reference
     .pth state_dicts (the reference's checkpoint format, Main.py:43) —
@@ -198,6 +204,7 @@ def test_cli_direct_script_invocation(tmp_path):
 
 
 @pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+@pytest.mark.slow
 def test_cli_ep_training(tmp_path, monkeypatch):
     """--parallel ep: edge-partitioned training over the 8-device virtual
     mesh through the real argv surface — loss decreases, checkpoints and
@@ -222,6 +229,7 @@ def test_cli_ep_training(tmp_path, monkeypatch):
 
 
 @pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+@pytest.mark.slow
 def test_cli_flat_aggregate_blocked(tmp_path, monkeypatch):
     """--flat-aggregate blocked: the scatter-free giant-batch engine trains
     end-to-end through the real argv surface (round-2 VERDICT weak #3)."""
@@ -243,6 +251,7 @@ def test_cli_flat_aggregate_blocked(tmp_path, monkeypatch):
 
 
 @pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+@pytest.mark.slow
 def test_cli_flat_aggregate_pallas_trains_with_dropout(tmp_path, monkeypatch):
     """--flat-aggregate pallas now TRAINS with the reference's default
     adj-dropout 0.2 (round-2 VERDICT weak #3): the aligned ukey stream
@@ -265,6 +274,7 @@ def test_cli_flat_aggregate_pallas_trains_with_dropout(tmp_path, monkeypatch):
 
 
 @pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+@pytest.mark.slow
 def test_cli_compilation_cache(tmp_path, monkeypatch):
     """--compilation-cache-dir: the persistent XLA cache engages (entries
     written) and a warm re-run reproduces the identical log."""
@@ -306,6 +316,7 @@ def test_cli_dynamic_dense_trains(tmp_path, monkeypatch):
 
 
 @pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+@pytest.mark.slow
 def test_cli_dynamic_dense_dp(tmp_path, monkeypatch):
     """Dynamic dataset + --n-devices: auto batch-mode now picks dense (the
     host-collated DenseBatch graph axis shards over the mesh) and the run
@@ -328,6 +339,7 @@ def test_cli_dynamic_dense_dp(tmp_path, monkeypatch):
 
 
 @pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+@pytest.mark.slow
 def test_cli_dense_chunk_giant_batch(tmp_path, monkeypatch):
     """--dense-chunk: giant-batch training (one optimizer step per
     --batch-size graphs, streamed in VMEM-resident slices) through the
@@ -366,6 +378,7 @@ def test_cli_dense_chunk_giant_batch(tmp_path, monkeypatch):
 
 
 @pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+@pytest.mark.slow
 def test_cli_dynamic_dense_alternate_model(tmp_path, monkeypatch):
     """Auto batch-mode now picks dense for dynamic runs (round 4) — the
     alternate model family (DGCNN) trains through that path too."""

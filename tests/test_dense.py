@@ -133,6 +133,7 @@ def test_dense_grads_match_flat():
                                    rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_dense_bf16_close_to_f32():
     rng = np.random.default_rng(5)
     _, _, dense = make_pair(rng)
@@ -195,6 +196,7 @@ def test_plan_dense_buckets_partitions_and_fits():
     assert bucketed < one
 
 
+@pytest.mark.slow
 def test_dense_train_end_to_end_golden():
     """batch_mode='dense' through train_multiple_epochs (device-resident
     per-bucket scan steps): pinned to a golden RMSE so numerics regressions
@@ -328,6 +330,7 @@ def test_dense_dp_step_matches_single_device():
                                    rtol=0, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_dense_dp_train_end_to_end_matches_single():
     """train_multiple_epochs(batch_mode='dense', mesh=8-cpu): the full DP
     training run reproduces the single-device dense run's final RMSE (same
@@ -354,6 +357,7 @@ def test_dense_dp_train_end_to_end_matches_single():
     assert rmse_dp == pytest.approx(rmse_single, abs=1e-4)
 
 
+@pytest.mark.slow
 def test_dense_adjacency_strategy_matches_edge():
     """rgcn dense 'adjacency' strategy (per-relation [B,R,n,n] built once
     per forward) vs the 'edge' per-edge one-hot formulation: identical
@@ -586,6 +590,7 @@ def test_chunked_dense_device_step_matches_unchunked():
                                    rtol=0, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_train_multiple_epochs_dense_chunk_matches_unchunked():
     """train_multiple_epochs(dense_chunk=...) — the --dense-chunk giant-
     batch CLI path — reproduces the unchunked dense run's final RMSE with a

@@ -1,5 +1,6 @@
 """Edge-partitioned (EP) model parallelism tests on the 8-device CPU mesh."""
 
+import pytest
 import numpy as np
 import scipy.sparse as sp
 
@@ -94,6 +95,7 @@ def test_comm_stats_reduction():
     assert stats["halo_rows_per_pair"] < stats["local_nodes"] * 8
 
 
+@pytest.mark.slow
 def test_ep_forward_matches_single_device():
     batch = make_batch()
     cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0)
@@ -153,6 +155,7 @@ def test_hash_edge_keep_deterministic_and_unbiased():
     assert not bool(jnp.all(k1 == k3))
 
 
+@pytest.mark.slow
 def test_ep_forward_matches_single_device_sum_aggr():
     batch = make_batch(seed=9)
     cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0, aggr="sum")
@@ -166,6 +169,7 @@ def test_ep_forward_matches_single_device_sum_aggr():
         np.asarray(out).reshape(-1), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ep_forward_matches_single_device_relmean_aggr():
     batch = make_batch(seed=11)
     cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.0,
@@ -219,6 +223,7 @@ def test_ep_dropout_direction_tying_follows_config():
             assert not all(agree)  # at p=0.5 some pairs must disagree
 
 
+@pytest.mark.slow
 def test_pad_ep_batch_preserves_forward():
     """Growing the static caps (shared-shape epoch batches) must not change
     the forward output: halo slots are renumbered consistently."""
@@ -286,6 +291,7 @@ def test_build_ep_batches_shared_shape_and_prediction_order():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ep_training_loop_decreases_and_resumes(tmp_path):
     """train_multiple_epochs_ep: loss decreases over epochs; a run
     checkpointed at epoch 2 and resumed with continue_from=2 reproduces
@@ -319,6 +325,7 @@ def test_ep_training_loop_decreases_and_resumes(tmp_path):
     assert abs(rmse_resumed - rmse_full) < 1e-6
 
 
+@pytest.mark.slow
 def test_ep_blocked_local_aggregate_matches_segment():
     """EP with the blocked local aggregate (build_ep_blocked plans) must
     match the segment EP forward exactly — eval AND training mode (the
@@ -344,6 +351,7 @@ def test_ep_blocked_local_aggregate_matches_segment():
                 err_msg=f"{aggr} training={training}")
 
 
+@pytest.mark.slow
 def test_ep_blocked_train_step_decreases_loss():
     from igmc_tpu.parallel.ep import build_ep_blocked
 
@@ -387,6 +395,7 @@ def test_ep_blocked_training_loop_cli_equivalent():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_ep_blocked_relmean_matches_segment():
     from igmc_tpu.parallel.ep import build_ep_blocked
 

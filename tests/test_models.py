@@ -3,6 +3,7 @@ features, checkpoint roundtrip, prediction-averaged ensembling."""
 
 import os
 
+import pytest
 import numpy as np
 import scipy.sparse as sp
 
@@ -78,6 +79,7 @@ def test_gnn_forward_and_grad():
                for x in jax.tree_util.tree_leaves(g))
 
 
+@pytest.mark.slow
 def test_dgcnn_and_rs_forward_and_grad():
     batch = jax.device_put(make_batch())
     for relational in (False, True):

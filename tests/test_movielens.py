@@ -226,6 +226,7 @@ def test_pickle_cache_roundtrip(ml_root, tmp_path):
     np.testing.assert_array_equal(a.test_u_indices, b.test_u_indices)
 
 
+@pytest.mark.slow
 def test_cli_ml1m_synthetic_end_to_end(tmp_path, monkeypatch):
     """The FULL ml_1m CLI pipeline on a deterministic synthetic dataset in
     the REAL file schema (round-2 VERDICT missing #1 / next #5): ratings/

@@ -232,6 +232,7 @@ def test_global_batch_from_local_single_process(tmp_path):
     assert g.node_label.sharding.spec == ref.node_label.sharding.spec
 
 
+@pytest.mark.slow
 def test_two_process_jax_distributed_dp_step():
     """The multihost recipe (multihost.py docstring) across a REAL process
     boundary: 2 jax.distributed processes x 4 CPU devices each run one DP
@@ -341,6 +342,7 @@ def test_subset_of_dynamic_dataset_estimates_ladders():
     assert nl[0] >= max(st.node_counts())
 
 
+@pytest.mark.slow
 def test_two_process_jax_distributed_dense_dp_step():
     """The flagship dense gid-block DP path across a REAL process boundary
     (round-2 VERDICT weak #6): 2 jax.distributed processes x 4 CPU devices
@@ -540,6 +542,7 @@ def test_dp_flat_superbatch_training_end_to_end():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_two_process_jax_distributed_ep_step():
     """The EP (edge-partitioned) path across a REAL process boundary
     (round-4 VERDICT missing #2): 2 jax.distributed processes x 4 CPU

@@ -1,5 +1,6 @@
 """R-GCN layer parity vs. a dense NumPy oracle + gradient checks."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,7 @@ def random_graph(num_nodes=11, num_edges=40, R=5, seed=0):
     return x, src, dst, etype, emask
 
 
+@pytest.mark.slow
 def test_rgcn_matches_dense_oracle_both_strategies():
     R = 5
     x, src, dst, etype, emask = random_graph(R=R)
@@ -62,6 +64,7 @@ def test_rgcn_many_relations():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_rgcn_padding_does_not_pollute():
     R = 3
     x, src, dst, etype, emask = random_graph(num_nodes=6, num_edges=10, R=R)

@@ -13,6 +13,7 @@ MONTI_AVAILABLE = (os.path.isdir("/root/reference/raw_data/flixster")
 
 
 @pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+@pytest.mark.slow
 def test_predictor_matches_eval_and_ensembles(tmp_path):
     from igmc_tpu.batching import StaticGraphDataset
     from igmc_tpu.data import load_data_monti
@@ -179,6 +180,7 @@ def test_predictor_side_features():
 
 
 @pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+@pytest.mark.slow
 def test_predict_cli_end_to_end(tmp_path, monkeypatch, capsys):
     """Train a debug run through the main CLI, then score pairs through the
     serving CLI (python -m igmc_tpu.cli.predict): in-range finite ratings,
@@ -211,6 +213,7 @@ def test_predict_cli_end_to_end(tmp_path, monkeypatch, capsys):
 
 
 @pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+@pytest.mark.slow
 def test_predict_cli_transfer_serving(tmp_path, monkeypatch):
     """Transfer serving: a douban-trained model (5 relations) scores
     flixster pairs through the serving CLI with --transfer bucketing
