@@ -52,6 +52,10 @@ class GraphBatch:
     # block_align_edges output tuple) — attached by BatchLoader when
     # flat_aggregate is 'pallas'.
     aligned: Optional[tuple] = None
+    # Optional TRANSPOSED (src-sorted) alignment for the Pallas TRAINING
+    # path: the backward dx is the same indicator-matmul kernel with
+    # src/dst roles swapped (kernels/rgcn_aggregate.py bwd kernel).
+    aligned_t: Optional[tuple] = None
     # Pytree AUX (static, not a leaf): how a leading stack axis should be
     # interpreted — None (flat), "superbatch" (scan over K training steps),
     # or "devices" (one sub-batch per mesh device). Consumers must not
@@ -81,6 +85,7 @@ def _register_pytree():
         "node_label", "edge_src", "edge_dst", "edge_type", "edge_canon",
         "node2graph", "node_mask", "edge_mask", "y", "graph_mask",
         "target_u", "target_v", "u_feat", "v_feat", "blocked", "aligned",
+        "aligned_t",
     ]
     jax.tree_util.register_pytree_node(
         GraphBatch,

@@ -511,7 +511,8 @@ class BatchLoader:
                 rows=self.plan_rows, eblk=self.plan_eblk,
                 num_blocks=nb, device_put=False)
         elif self.flat_aggregate == "pallas":
-            from ..kernels.rgcn_aggregate import block_align_edges
+            from ..kernels.rgcn_aggregate import (
+                block_align_edges, block_align_edges_transposed)
 
             out = block_align_edges(
                 np.asarray(batch.edge_src), np.asarray(batch.edge_dst),
@@ -522,6 +523,15 @@ class BatchLoader:
             # edge dropout key stream, enabling adj_dropout training on the
             # Pallas path (models/igmc.py recomputes the mask on device).
             batch.aligned = tuple(out[:6]) + (out[7],)
+            # src-sorted twin plan (same capacity -> one program per
+            # bucket): lets the backward dx run as the same Pallas kernel
+            # (rgcn_aggregate_pallas_train)
+            out_t = block_align_edges_transposed(
+                np.asarray(batch.edge_src), np.asarray(batch.edge_dst),
+                np.asarray(batch.edge_type), np.asarray(batch.edge_mask),
+                node_pad, eblk=self.plan_eblk, rows=self.plan_rows,
+                num_blocks=nb, edge_canon=np.asarray(batch.edge_canon))
+            batch.aligned_t = tuple(out_t[:6]) + (out_t[7],)
         else:
             raise ValueError(f"unknown flat_aggregate "
                              f"{self.flat_aggregate!r}")

@@ -128,6 +128,7 @@ def igmc_forward(params, batch: GraphBatch, cfg: IGMCConfig,
 
     if aligned is None:
         aligned = getattr(batch, "aligned", None)
+    aligned_t = getattr(batch, "aligned_t", None)
     emask = batch.edge_mask
     if training and cfg.adj_dropout > 0:
         if cfg.use_pallas and aligned is not None:
@@ -151,6 +152,20 @@ def igmc_forward(params, batch: GraphBatch, cfg: IGMCConfig,
             keep = hash_edge_keep(seed, key_ids, cfg.adj_dropout)
             amask_dropped = aligned[3] * keep.astype(aligned[3].dtype)
             aligned = aligned[:3] + (amask_dropped,) + aligned[4:]
+            if aligned_t is not None:
+                # the src-sorted twin plan must drop the SAME edges: its
+                # ukey stream keys the original orientation, so the same
+                # stateless hash reproduces the identical keep decisions
+                if len(aligned_t) < 7 or aligned_t[6] is None:
+                    raise NotImplementedError(
+                        "use_pallas training + adj_dropout needs the "
+                        "transposed plan's ukey stream "
+                        "(block_align_edges_transposed with edge_canon)")
+                ukey_t = aligned_t[6]
+                kt = ukey_t // 2 if cfg.force_undirected else ukey_t
+                keep_t = hash_edge_keep(seed, kt, cfg.adj_dropout)
+                mt = aligned_t[3] * keep_t.astype(aligned_t[3].dtype)
+                aligned_t = aligned_t[:3] + (mt,) + aligned_t[4:]
         else:
             key, k_edge = jax.random.split(key)
             emask = edge_dropout(k_edge, emask, batch.edge_canon,
@@ -159,7 +174,9 @@ def igmc_forward(params, batch: GraphBatch, cfg: IGMCConfig,
 
     pallas = cfg.use_pallas and aligned is not None
     if pallas:
-        from ..kernels.rgcn_aggregate import _dst_global, rgcn_aggregate_pallas
+        from ..kernels.rgcn_aggregate import (_dst_global,
+                                              rgcn_aggregate_pallas,
+                                              rgcn_aggregate_pallas_train)
 
         if cfg.aggr not in ("mean", "sum"):
             raise NotImplementedError(f"use_pallas + aggr={cfg.aggr}")
@@ -175,9 +192,17 @@ def igmc_forward(params, batch: GraphBatch, cfg: IGMCConfig,
     states = []
     for conv_params in params["convs"]:
         if pallas:
-            agg = rgcn_aggregate_pallas(
-                x, conv_params["att"], conv_params["basis"], aligned,
-                cfg.pallas_rows, N, interpret)
+            if aligned_t is not None:
+                # src-sorted twin plan present: the backward dx runs as the
+                # same Pallas indicator-matmul kernel (training win;
+                # kernels/README.md round-5)
+                agg = rgcn_aggregate_pallas_train(
+                    x, conv_params["att"], conv_params["basis"], aligned,
+                    aligned_t[:6], cfg.pallas_rows, N, interpret)
+            else:
+                agg = rgcn_aggregate_pallas(
+                    x, conv_params["att"], conv_params["basis"], aligned,
+                    cfg.pallas_rows, N, interpret)
             if cfg.aggr == "mean":
                 agg = agg * inv_deg
             x = jnp.tanh(agg + x @ conv_params["root"] + conv_params["bias"])
