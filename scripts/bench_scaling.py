@@ -124,6 +124,13 @@ def main():
     base_ep = results["ep"].get(1)
     base_epb = results.get("ep_blocked", {}).get(1)
     out = {"metric": "weak_scaling_edges_per_sec", "backend": results["backend"]}
+    if results["backend"] == "cpu":
+        out["caveat"] = (
+            "virtual CPU mesh (xla_force_host_platform_device_count): "
+            "validates the sharded programs and methodology, NOT ICI "
+            "bandwidth — efficiencies here reflect host-core contention, "
+            "not TPU interconnect; run unchanged on a real slice for the "
+            ">=75%-at-2-hosts north star")
     for mode, base in (("dp", base_dp), ("ep", base_ep),
                        ("ep_blocked", base_epb)):
         if mode not in results:
