@@ -26,7 +26,7 @@ import numpy as np
 sys.path.insert(0, ".")  # repo root (bench.py, __graft_entry__)
 
 
-def make_chained_grad(cfg, K: int, aligned=None):
+def make_chained_grad(cfg, K: int, aligned=None, aligned_t=None):
     """ONE jit of K serialized fwd+bwd passes: iteration k's gradient sum
     perturbs every parameter of iteration k+1 (x1e-30) so no layer can be
     hoisted; the carry chains calls (same discipline as
@@ -37,6 +37,10 @@ def make_chained_grad(cfg, K: int, aligned=None):
     from igmc_tpu.models import igmc_forward
 
     def loss(p, batch):
+        if aligned_t is not None:
+            import dataclasses
+
+            batch = dataclasses.replace(batch, aligned_t=aligned_t)
         preds = igmc_forward(p, batch, cfg, key=None, training=False,
                              aligned=aligned)
         return jnp.sum(preds ** 2)
@@ -80,6 +84,14 @@ def bench_one(node_pad: int, edge_pad: int, batch_graphs: int,
     align_ms = (time.perf_counter() - t0) * 1e3
     aligned = jax.device_put(tuple(jnp.asarray(a) for a in al[:6]))
 
+    from igmc_tpu.kernels.rgcn_aggregate import block_align_edges_transposed
+
+    alt = block_align_edges_transposed(
+        np.asarray(batch.edge_src), np.asarray(batch.edge_dst),
+        np.asarray(batch.edge_type), np.asarray(batch.edge_mask),
+        node_pad, eblk=1024, rows=rows)
+    aligned_t = jax.device_put(tuple(jnp.asarray(a) for a in alt[:6]))
+
     name = f"N{node_pad}_E{edge_pad}_R{num_relations}"
     out = {f"{name}_real_edges": n_real,
            f"{name}_align_host_ms": round(align_ms, 1)}
@@ -91,11 +103,14 @@ def bench_one(node_pad: int, edge_pad: int, batch_graphs: int,
     params = jax.device_put(igmc_init(jax.random.PRNGKey(0), cfg_x))
     batch = jax.device_put(batch)
 
-    for tag, cfg, alg in (("xla", cfg_x, None), ("pallas", cfg_p, aligned)):
-        fwd = make_chained_forward(cfg, K, aligned=alg)
-        dt = time_chained(fwd, params, batch, K, calls)
-        out[f"{name}_{tag}_forward_ms"] = round(dt * 1e3, 4)
-        bwd = make_chained_grad(cfg, K, aligned=alg)
+    for tag, cfg, alg, alt_ in (("xla", cfg_x, None, None),
+                                ("pallas", cfg_p, aligned, None),
+                                ("pallas_train", cfg_p, aligned, aligned_t)):
+        if alt_ is None:
+            fwd = make_chained_forward(cfg, K, aligned=alg)
+            dt = time_chained(fwd, params, batch, K, calls)
+            out[f"{name}_{tag}_forward_ms"] = round(dt * 1e3, 4)
+        bwd = make_chained_grad(cfg, K, aligned=alg, aligned_t=alt_)
         dtb = time_chained(bwd, params, batch, K, calls)
         out[f"{name}_{tag}_fwdbwd_ms"] = round(dtb * 1e3, 4)
 
@@ -103,6 +118,9 @@ def bench_one(node_pad: int, edge_pad: int, batch_graphs: int,
         out[f"{name}_xla_forward_ms"] / out[f"{name}_pallas_forward_ms"], 3)
     out[f"{name}_fwdbwd_speedup_pallas"] = round(
         out[f"{name}_xla_fwdbwd_ms"] / out[f"{name}_pallas_fwdbwd_ms"], 3)
+    out[f"{name}_fwdbwd_speedup_pallas_train"] = round(
+        out[f"{name}_xla_fwdbwd_ms"]
+        / out[f"{name}_pallas_train_fwdbwd_ms"], 3)
     return out
 
 
