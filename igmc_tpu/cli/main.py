@@ -88,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", default="igmc",
                    choices=["igmc", "gnn", "dgcnn", "dgcnn_rs"],
                    help="model family (reference default: IGMC)")
+    p.add_argument("--num-bases", type=int, default=4,
+                   help="R-GCN basis count (reference hardcodes 4, "
+                        "models.py:26; exposed for high-R studies)")
     p.add_argument("--aggr", default="mean", choices=["mean", "sum", "relmean"],
                    help="R-GCN aggregation. 'mean' matches the reference's "
                         "pinned PyG 1.4.2 RGCNConv; 'sum' matches earlier "
@@ -320,7 +323,7 @@ def build_model(args, split, n_features, train_graphs=None):
     if args.model == "igmc":
         cfg = IGMCConfig(
             num_features=num_features, latent_dim=(32, 32, 32, 32),
-            num_relations=num_relations, num_bases=4,
+            num_relations=num_relations, num_bases=args.num_bases,
             adj_dropout=args.adj_dropout,
             force_undirected=args.force_undirected,
             side_features=args.use_features, n_side_features=n_features,
