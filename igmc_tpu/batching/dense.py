@@ -38,7 +38,21 @@ from ..graphs.extract import Subgraph
 
 @dataclass
 class DenseBatch:
-    """B graphs in fixed node slots. Targets: user=row 0, item=row 1."""
+    """B graphs in fixed node slots.
+
+    Two slot layouts share this container, distinguished by `num_u`:
+
+    * UNIFIED (`num_u is None`): one n-row slot per graph, target user at
+      row 0 and target item at row 1 (slot_perm); user/item rows interleave
+      at a per-graph boundary. One-hot aggregation matmuls span all n rows.
+    * BIPARTITE (`num_u = nu`, a STATIC per-bucket boundary): users occupy
+      rows [0, nu) and items rows [nu, n), target user at row 0 and target
+      item at row nu. Because IGMC subgraphs are bipartite (every forward
+      edge is user->item, graphs/extract.py), each one-hot gather/scatter
+      spans only ITS side — width nu or n-nu instead of n — halving the
+      MAC and VPU (one-hot materialization) work of the dense R-GCN trunk
+      (models/rgcn.py rgcn_dense_bipartite_apply) with identical math.
+    """
 
     node_label: np.ndarray   # int32 [B, n]  hop/side label per node row
     edge_src: np.ndarray     # int32 [B, E]  forward-edge user row (graph-local)
@@ -52,6 +66,8 @@ class DenseBatch:
     v_feat: Optional[np.ndarray] = None  # float32 [B, dv]
     # Pytree AUX: leading-axis interpretation, as in GraphBatch.stacked.
     stacked: Optional[str] = None
+    # Pytree AUX: static user/item slot boundary (bipartite layout) or None.
+    num_u: Optional[int] = None
 
     @property
     def num_graphs(self) -> int:
@@ -78,8 +94,8 @@ def _register_pytree():
     ]
     jax.tree_util.register_pytree_node(
         DenseBatch,
-        lambda b: ([getattr(b, f) for f in fields], b.stacked),
-        lambda aux, xs: DenseBatch(*xs, stacked=aux),
+        lambda b: ([getattr(b, f) for f in fields], (b.stacked, b.num_u)),
+        lambda aux, xs: DenseBatch(*xs, stacked=aux[0], num_u=aux[1]),
     )
 
 
@@ -109,8 +125,17 @@ def collate_dense(
     num_graphs: int,
     node_slot: int,
     edge_slot: int,
+    num_u_slot: Optional[int] = None,
 ) -> DenseBatch:
-    """Pack subgraphs one-per-slot. Slots must fit the largest graph."""
+    """Pack subgraphs one-per-slot. Slots must fit the largest graph.
+
+    With `num_u_slot` set, pack the BIPARTITE layout: user nodes keep
+    their extraction order in rows [0, num_u_slot) (target user already
+    first, graphs/extract.py) and item nodes theirs in rows
+    [num_u_slot, node_slot) (target item first) — no permutation at all,
+    each side just offset. Requires num_u <= num_u_slot and
+    num_v <= node_slot - num_u_slot for every graph.
+    """
     B, n, E = num_graphs, node_slot, edge_slot
     n_real = len(graphs)
     assert n_real <= B
@@ -132,13 +157,30 @@ def collate_dense(
 
     for gi, g in enumerate(graphs):
         nn, ne = g.num_nodes, len(g.src)
-        if nn > n or ne > E:
+        if ne > E:
             raise ValueError(
                 f"graph ({nn} nodes, {ne} fwd edges) exceeds dense slot "
                 f"({n}, {E})")
-        perm = slot_perm(g.num_u, nn)
+        if num_u_slot is None:
+            if nn > n:
+                raise ValueError(
+                    f"graph ({nn} nodes, {ne} fwd edges) exceeds dense slot "
+                    f"({n}, {E})")
+            perm = slot_perm(g.num_u, nn)
+            node_mask[gi, :nn] = True
+        else:
+            if g.num_u > num_u_slot or g.num_v > n - num_u_slot:
+                raise ValueError(
+                    f"graph ({g.num_u} users, {g.num_v} items) exceeds "
+                    f"bipartite slot ({num_u_slot}, {n - num_u_slot})")
+            # users: extraction rows [0, num_u) stay; items shift to
+            # [num_u_slot, num_u_slot + num_v)
+            perm = np.concatenate([
+                np.arange(g.num_u, dtype=np.int32),
+                num_u_slot + np.arange(g.num_v, dtype=np.int32)])
+            node_mask[gi, :g.num_u] = True
+            node_mask[gi, num_u_slot:num_u_slot + g.num_v] = True
         node_label[gi, perm] = g.node_label
-        node_mask[gi, :nn] = True
         edge_src[gi, :ne] = perm[g.src]
         edge_dst[gi, :ne] = perm[g.dst]
         edge_type[gi, :ne] = g.etype
@@ -149,10 +191,16 @@ def collate_dense(
             u_feat[gi] = g.u_feat
             v_feat[gi] = g.v_feat
 
+    if num_u_slot is not None:
+        # padded edges must index a VALID item row so one_hot(dst - nu)
+        # stays in range (they are mask-zeroed regardless)
+        edge_dst[~edge_mask] = num_u_slot
+
     return DenseBatch(
         node_label=node_label, edge_src=edge_src, edge_dst=edge_dst,
         edge_type=edge_type, node_mask=node_mask, edge_mask=edge_mask,
         y=y, graph_mask=graph_mask, u_feat=u_feat, v_feat=v_feat,
+        num_u=num_u_slot,
     )
 
 
@@ -162,11 +210,16 @@ def _round8(v: int) -> int:
 
 @dataclass(frozen=True)
 class DenseBucket:
-    """One compiled slot shape plus the dataset indices assigned to it."""
+    """One compiled slot shape plus the dataset indices assigned to it.
+
+    `num_u_slot` is None for the unified layout; for bipartite buckets it
+    is the static user/item row boundary (node_slot = user rows + item
+    rows, each side rounded to 8 independently)."""
 
     node_slot: int
     edge_slot: int
     indices: np.ndarray  # int64 dataset indices whose graphs fit this slot
+    num_u_slot: Optional[int] = None
 
 
 def plan_dense_buckets(
@@ -243,4 +296,77 @@ def plan_dense_buckets(
             buckets[-1] = DenseBucket(nslot, eslot, merged)
         else:
             buckets.append(DenseBucket(nslot, eslot, idx))
+    return buckets
+
+
+def plan_bipartite_buckets(
+    u_counts,
+    v_counts,
+    fwd_edge_counts,
+    max_buckets: int = 3,
+    grid: int = 256,
+) -> List[DenseBucket]:
+    """plan_dense_buckets for the BIPARTITE slot layout: each bucket gets
+    separate user/item slot widths (member maxima, each rounded to 8) and
+    the compute cost of a member is (nu_slot + nv_slot) * edge_slot — the
+    one-hot matmuls span one side each. Same contiguous-segment DP; sort
+    key is real (nu + nv) * e cost."""
+    uc = np.asarray(u_counts, dtype=np.int64)
+    vc = np.asarray(v_counts, dtype=np.int64)
+    ec = np.asarray(fwd_edge_counts, dtype=np.int64)
+    n = len(uc)
+    if n == 0:
+        return []
+    order = np.argsort((uc + vc) * np.maximum(ec, 1), kind="stable")
+    us, vs, es = uc[order], vc[order], ec[order]
+    cuts = np.unique(np.linspace(0, n, min(grid, n) + 1).astype(np.int64))
+    C = len(cuts)
+    seg_u = np.array([us[cuts[i]:cuts[i + 1]].max(initial=0)
+                      for i in range(C - 1)])
+    seg_v = np.array([vs[cuts[i]:cuts[i + 1]].max(initial=0)
+                      for i in range(C - 1)])
+    seg_e = np.array([es[cuts[i]:cuts[i + 1]].max(initial=0)
+                      for i in range(C - 1)])
+
+    INF = float("inf")
+    k = max(1, int(max_buckets))
+    dp = np.full((C, k + 1), INF)
+    dp[0, 0] = 0.0
+    parent = np.zeros((C, k + 1), np.int64)
+    for i in range(C - 1):
+        run_u = run_v = run_e = 0
+        for j in range(i + 1, C):
+            run_u = max(run_u, int(seg_u[j - 1]))
+            run_v = max(run_v, int(seg_v[j - 1]))
+            run_e = max(run_e, int(seg_e[j - 1]))
+            w = ((cuts[j] - cuts[i])
+                 * (_round8(run_u) + _round8(run_v)) * _round8(run_e))
+            for b in range(1, k + 1):
+                val = dp[i, b - 1] + w
+                if val < dp[j, b]:
+                    dp[j, b] = val
+                    parent[j, b] = i
+
+    best_b = int(np.argmin(dp[C - 1, 1:]) + 1)
+    segs = []
+    j, b = C - 1, best_b
+    while b > 0 and j > 0:
+        i = parent[j, b]
+        segs.append((int(cuts[i]), int(cuts[j])))
+        j, b = int(i), b - 1
+    segs.reverse()
+
+    buckets: List[DenseBucket] = []
+    for i, j in segs:
+        idx = order[i:j]
+        nu = _round8(us[i:j].max())
+        nv = _round8(vs[i:j].max())
+        eslot = _round8(es[i:j].max())
+        key = (nu + nv, eslot, nu)
+        if buckets and key == (buckets[-1].node_slot, buckets[-1].edge_slot,
+                               buckets[-1].num_u_slot):
+            merged = np.concatenate([buckets[-1].indices, idx])
+            buckets[-1] = DenseBucket(nu + nv, eslot, merged, nu)
+        else:
+            buckets.append(DenseBucket(nu + nv, eslot, idx, nu))
     return buckets

@@ -304,7 +304,7 @@ def _igmc_forward_dense(params, batch: DenseBatch, cfg: IGMCConfig,
     fixed slices rows 0/1 (batching/dense.py invariant). Same math as the
     flat path to float tolerance (tests/test_dense.py)."""
     from .rgcn import (build_dense_adj, dense_adj_degrees, rgcn_dense_apply,
-                       rgcn_dense_adj_apply)
+                       rgcn_dense_adj_apply, rgcn_dense_bipartite_apply)
 
     x = jax.nn.one_hot(batch.node_label, cfg.num_features, dtype=jnp.float32)
     x = x * batch.node_mask[..., None].astype(jnp.float32)
@@ -323,6 +323,31 @@ def _igmc_forward_dense(params, batch: DenseBatch, cfg: IGMCConfig,
     # IGMCConfig.dense_strategy). The adjacency path stays available for
     # explicit study and for shapes where E/n grows far beyond IGMC's.
     use_adj = cfg.dense_strategy == "adjacency"
+    if batch.num_u is not None:
+        if use_adj:
+            raise NotImplementedError(
+                "dense_strategy='adjacency' is unified-layout only; the "
+                "bipartite layout's halved one-hot widths supersede it")
+        # BIPARTITE slot layout: per-side one-hot widths, targets at
+        # static rows (0, num_u) — see batching/dense.py DenseBatch
+        states = []
+        for conv_params in params["convs"]:
+            x = jnp.tanh(rgcn_dense_bipartite_apply(
+                conv_params, x, batch.num_u, batch.edge_src, batch.edge_dst,
+                batch.edge_type, mask_f, mask_r, cfg.aggr, cd))
+            states.append(x)
+        concat_states = jnp.concatenate(states, axis=-1)
+        h = jnp.concatenate(
+            [concat_states[:, 0, :], concat_states[:, batch.num_u, :]],
+            axis=-1)
+        if cfg.side_features:
+            h = jnp.concatenate([h, batch.u_feat, batch.v_feat], axis=-1)
+        h = jax.nn.relu(linear_apply(params["lin1"], h))
+        if training:
+            key, k_drop = jax.random.split(key)
+            h = feature_dropout(k_drop, h, 0.5, training)
+        out = linear_apply(params["lin2"], h)[:, 0]
+        return out * cfg.multiply_by
     if use_adj:
         # A is layer- and width-independent: one O(E)-cost build feeds all
         # layers (rgcn.build_dense_adj). Masks tied across directions

@@ -201,6 +201,80 @@ def rgcn_dense_apply(params, x, edge_src, edge_dst, edge_type,
     return agg + x @ params["root"] + params["bias"]
 
 
+def rgcn_dense_bipartite_apply(params, x, num_u: int, edge_src, edge_dst,
+                               edge_type, mask_f, mask_r,
+                               aggr: str = "mean", compute_dtype=None):
+    """rgcn_dense_apply for the BIPARTITE slot layout (batching/dense.py
+    DenseBatch.num_u): users occupy rows [0, num_u) and items rows
+    [num_u, n) with a STATIC boundary, and every stored forward edge is
+    user->item (graphs/extract.py). Each one-hot therefore spans only its
+    own side — [B, E, nu] and [B, E, nv] instead of two [B, E, n] — which
+    HALVES both the indicator MACs (the MXU cost the dense trunk is
+    limited by at bf16) and the VPU one-hot materialization, with
+    bit-identical math to the unified layout (tests/test_dense_bipartite).
+
+        fwd messages: gather from users, scatter to items
+        rev messages: gather from items, scatter to users
+
+    `edge_dst` is the GLOBAL item row (>= num_u); padded edges must hold a
+    valid row (collate_dense pads with num_u) so one_hot stays in range.
+    """
+    B, n, Cin = x.shape
+    nu = int(num_u)
+    nv = n - nu
+    nb, _, Cout = params["basis"].shape
+    R = params["att"].shape[0]
+    cd = compute_dtype or jnp.float32
+
+    mf = mask_f.astype(cd)
+    mr = mask_r.astype(cd)
+    src_oh = jax.nn.one_hot(edge_src, nu, dtype=cd)        # [B, E, nu]
+    dst_oh = jax.nn.one_hot(edge_dst - nu, nv, dtype=cd)   # [B, E, nv]
+    rel_oh = jax.nn.one_hot(edge_type, R, dtype=cd)        # [B, E, R]
+    att_e = rel_oh @ params["att"].astype(cd)              # [B, E, nb]
+
+    xc = x.astype(cd)
+    xu = xc[:, :nu]
+    xv = xc[:, nu:]
+    xs = jnp.einsum("beu,buc->bec", src_oh, xu)            # x[src] (users)
+    xd = jnp.einsum("bev,bvc->bec", dst_oh, xv)            # x[dst] (items)
+
+    if aggr == "relmean":
+        # per-(node, relation) incoming counts, one side each: forward
+        # edges land on items, reverse on users
+        cnt_v = jnp.einsum("be,bev,ber->bvr", mf, dst_oh, rel_oh)
+        cnt_u = jnp.einsum("be,beu,ber->bur", mr, src_oh, rel_oh)
+        cinv_v = 1.0 / jnp.maximum(cnt_v, 1.0)
+        cinv_u = 1.0 / jnp.maximum(cnt_u, 1.0)
+        coef_f = jnp.einsum("bev,ber,bvr->be", dst_oh, rel_oh, cinv_v)
+        coef_r = jnp.einsum("beu,ber,bur->be", src_oh, rel_oh, cinv_u)
+        af = att_e * (mf * coef_f)[..., None]
+        ar = att_e * (mr * coef_r)[..., None]
+    else:
+        af = att_e * mf[..., None]
+        ar = att_e * mr[..., None]
+
+    tf = jnp.einsum("bek,bec->bekc", af, xs).reshape(B, -1, nb * Cin)
+    tr = jnp.einsum("bek,bec->bekc", ar, xd).reshape(B, -1, nb * Cin)
+    zv = jnp.einsum("bev,bem->bvm", dst_oh, tf,
+                    preferred_element_type=jnp.float32)    # [B, nv, nb*Cin]
+    zu = jnp.einsum("beu,bem->bum", src_oh, tr,
+                    preferred_element_type=jnp.float32)    # [B, nu, nb*Cin]
+    z = jnp.concatenate([zu, zv], axis=1)                  # [B, n, nb*Cin]
+    # basis projection in f32 on the f32-accumulated z, exactly as
+    # rgcn_dense_apply does (small: n*nb*Cin*Cout MACs)
+    agg = (z @ params["basis"].reshape(nb * Cin, Cout)).astype(jnp.float32)
+
+    if aggr == "mean":
+        deg_u = jnp.einsum("be,beu->bu", mr, src_oh)
+        deg_v = jnp.einsum("be,bev->bv", mf, dst_oh)
+        deg = jnp.concatenate([deg_u, deg_v], axis=1).astype(jnp.float32)
+        agg = agg / jnp.maximum(deg, 1.0)[..., None]
+    elif aggr not in ("sum", "relmean"):
+        raise ValueError(f"unknown aggr {aggr}")
+    return agg + x @ params["root"] + params["bias"]
+
+
 def build_dense_adj(edge_src, edge_dst, edge_type, mask, num_relations: int,
                     node_slot: int, compute_dtype=None):
     """Per-relation dense adjacency A[b, r, i, j] = Σ_e mask·1[type_e=r,

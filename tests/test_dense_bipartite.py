@@ -1,0 +1,188 @@
+"""Bipartite dense slot layout (batching/dense.py DenseBatch.num_u):
+parity with the unified dense layout and the flat segment path on
+identical graphs — the one-hot widths halve, the math must not change.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from igmc_tpu.batching.batch import collate
+from igmc_tpu.batching.dense import (
+    collate_dense, plan_bipartite_buckets, plan_dense_buckets,
+)
+from igmc_tpu.models import IGMCConfig, igmc_forward, igmc_init
+from igmc_tpu.models.rgcn import (
+    rgcn_dense_apply, rgcn_dense_bipartite_apply, rgcn_init,
+)
+
+from tests.test_dense import make_pair, random_subgraph
+
+
+def make_bipartite(rng, n_graphs=6, num_relations=5, side=None):
+    """The same graphs collated flat, unified-dense and bipartite-dense."""
+    graphs, flat, dense = make_pair(rng, n_graphs, num_relations, side)
+    nu = max(g.num_u for g in graphs) + 2
+    nv = max(g.num_v for g in graphs) + 3
+    es = dense.edge_slot
+    bip = collate_dense(graphs, n_graphs + 1, nu + nv, es, num_u_slot=nu)
+    return graphs, flat, dense, bip
+
+
+def test_collate_bipartite_layout():
+    rng = np.random.default_rng(0)
+    graphs, _, _, bip = make_bipartite(rng)
+    nu = bip.num_u
+    for gi, g in enumerate(graphs):
+        # users in rows [0, num_u), items in [nu, nu+num_v)
+        assert bip.node_mask[gi, :g.num_u].all()
+        assert not bip.node_mask[gi, g.num_u:nu].any()
+        assert bip.node_mask[gi, nu:nu + g.num_v].all()
+        assert not bip.node_mask[gi, nu + g.num_v:].any()
+        # target labels at static rows: user label 0 at row 0, item label
+        # 1 at row nu (extraction puts targets first on each side)
+        assert bip.node_label[gi, 0] == 0
+        assert bip.node_label[gi, nu] == 1
+        ne = len(g.src)
+        assert (bip.edge_src[gi, :ne] < nu).all()
+        assert (bip.edge_dst[gi, :ne] >= nu).all()
+        # padded edges point at a valid item row (one_hot range safety)
+        assert (bip.edge_dst[gi, ne:] == nu).all()
+    # padding graphs too
+    assert not bip.graph_mask[-1]
+    assert (bip.edge_dst[-1] == nu).all()
+
+
+@pytest.mark.parametrize("aggr", ["mean", "sum", "relmean"])
+def test_layer_parity_vs_unified(aggr):
+    rng = np.random.default_rng(1)
+    _, _, dense, bip = make_bipartite(rng, n_graphs=5)
+    key = jax.random.PRNGKey(0)
+    # one-hot label features (what IGMC actually feeds) give both layouts
+    # the same per-node inputs without a row map
+    xd = jax.nn.one_hot(dense.node_label, 8) * dense.node_mask[..., None]
+    xb = jax.nn.one_hot(bip.node_label, 8) * bip.node_mask[..., None]
+    params = rgcn_init(key, 8, 16, 5, 4)
+    out_d = rgcn_dense_apply(params, xd, dense.edge_src, dense.edge_dst,
+                             dense.edge_type, dense.edge_mask,
+                             dense.edge_mask, aggr)
+    out_b = rgcn_dense_bipartite_apply(
+        params, xb, bip.num_u, bip.edge_src, bip.edge_dst, bip.edge_type,
+        bip.edge_mask, bip.edge_mask, aggr)
+    # compare target rows (present in both layouts at known positions)
+    np.testing.assert_allclose(out_d[:, 0], out_b[:, 0], rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(out_d[:, 1], out_b[:, bip.num_u], rtol=1e-5,
+                               atol=1e-5)
+
+
+@pytest.mark.parametrize("aggr", ["mean", "sum", "relmean"])
+def test_forward_parity_flat_vs_bipartite(aggr):
+    rng = np.random.default_rng(2)
+    graphs, flat, dense, bip = make_bipartite(rng, n_graphs=6)
+    cfg = IGMCConfig(num_features=8, num_relations=5, adj_dropout=0.0,
+                     aggr=aggr)
+    params = igmc_init(jax.random.PRNGKey(3), cfg)
+    out_flat = igmc_forward(params, flat, cfg)
+    out_dense = igmc_forward(params, dense, cfg)
+    out_bip = igmc_forward(params, bip, cfg)
+    B = len(graphs)
+    np.testing.assert_allclose(out_flat[:B], out_bip[:B], rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(out_dense[:B], out_bip[:B], rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_forward_parity_side_features():
+    rng = np.random.default_rng(3)
+    graphs, flat, dense, bip = make_bipartite(rng, n_graphs=4, side=5)
+    cfg = IGMCConfig(num_features=8, num_relations=5, adj_dropout=0.0,
+                     side_features=True, n_side_features=10)
+    params = igmc_init(jax.random.PRNGKey(4), cfg)
+    out_flat = igmc_forward(params, flat, cfg)
+    out_bip = igmc_forward(params, bip, cfg)
+    B = len(graphs)
+    np.testing.assert_allclose(out_flat[:B], out_bip[:B], rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_grad_parity_vs_unified():
+    rng = np.random.default_rng(4)
+    graphs, _, dense, bip = make_bipartite(rng, n_graphs=5)
+    cfg = IGMCConfig(num_features=8, num_relations=5, adj_dropout=0.0)
+    params = igmc_init(jax.random.PRNGKey(5), cfg)
+    B = len(graphs)
+
+    def loss(p, batch):
+        out = igmc_forward(p, batch, cfg)
+        m = batch.graph_mask.astype(jnp.float32)
+        return jnp.sum((out - batch.y) ** 2 * m) / m.sum()
+
+    gd = jax.grad(loss)(params, dense)
+    gb = jax.grad(loss)(params, bip)
+    for leaf_d, leaf_b in zip(jax.tree_util.tree_leaves(gd),
+                              jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(leaf_d, leaf_b, rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_compute_dtype_close():
+    rng = np.random.default_rng(5)
+    graphs, _, dense, bip = make_bipartite(rng, n_graphs=5)
+    cfg = IGMCConfig(num_features=8, num_relations=5, adj_dropout=0.0,
+                     compute_dtype="bfloat16")
+    params = igmc_init(jax.random.PRNGKey(6), cfg)
+    B = len(graphs)
+    out_dense = igmc_forward(params, dense, cfg)
+    out_bip = igmc_forward(params, bip, cfg)
+    np.testing.assert_allclose(out_dense[:B], out_bip[:B], rtol=2e-2,
+                               atol=2e-2)
+
+
+def test_dropout_runs_and_masks_padding():
+    rng = np.random.default_rng(6)
+    _, _, _, bip = make_bipartite(rng, n_graphs=5)
+    cfg = IGMCConfig(num_features=8, num_relations=5, adj_dropout=0.5,
+                     force_undirected=True)
+    params = igmc_init(jax.random.PRNGKey(7), cfg)
+    out = igmc_forward(params, bip, cfg, key=jax.random.PRNGKey(8),
+                       training=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_plan_bipartite_buckets_fit_and_cost():
+    rng = np.random.default_rng(7)
+    graphs = [random_subgraph(rng) for _ in range(300)]
+    uc = np.array([g.num_u for g in graphs])
+    vc = np.array([g.num_v for g in graphs])
+    ec = np.array([len(g.src) for g in graphs])
+    buckets = plan_bipartite_buckets(uc, vc, ec, max_buckets=3)
+    seen = np.concatenate([b.indices for b in buckets])
+    assert sorted(seen.tolist()) == list(range(len(graphs)))
+    for b in buckets:
+        nu = b.num_u_slot
+        nv = b.node_slot - nu
+        assert nu % 8 == 0 and nv % 8 == 0 and b.edge_slot % 8 == 0
+        assert (uc[b.indices] <= nu).all()
+        assert (vc[b.indices] <= nv).all()
+        assert (ec[b.indices] <= b.edge_slot).all()
+        # every member collates without error
+        members = [graphs[i] for i in b.indices[:4]]
+        collate_dense(members, len(members), b.node_slot, b.edge_slot,
+                      num_u_slot=nu)
+
+
+def test_chunked_bipartite_forward():
+    from igmc_tpu.models.igmc import igmc_forward_dense_chunked
+
+    rng = np.random.default_rng(8)
+    graphs = [random_subgraph(rng) for _ in range(8)]
+    nu = max(g.num_u for g in graphs) + 1
+    nv = max(g.num_v for g in graphs) + 1
+    es = max(len(g.src) for g in graphs) + 2
+    bip = collate_dense(graphs, 8, nu + nv, es, num_u_slot=nu)
+    cfg = IGMCConfig(num_features=8, num_relations=5, adj_dropout=0.0)
+    params = igmc_init(jax.random.PRNGKey(9), cfg)
+    full = igmc_forward(params, bip, cfg)
+    chunked = igmc_forward_dense_chunked(params, bip, cfg, chunk=4)
+    np.testing.assert_allclose(full, chunked, rtol=1e-5, atol=1e-6)
