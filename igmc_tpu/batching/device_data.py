@@ -19,6 +19,8 @@ segment aggregation — igmc_forward outputs match to float tolerance
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -185,13 +187,20 @@ def assemble_batch(dd: DeviceDataset, gids) -> GraphBatch:
 
 
 def assemble_dense(dd: DeviceDataset, gids, node_slot: int,
-                   edge_slot: int) -> "DenseBatch":
+                   edge_slot: int,
+                   num_u_slot: Optional[int] = None) -> "DenseBatch":
     """Build one DenseBatch (batching/dense.py) on device from graph ids
     [B]: each graph lands in a fixed `node_slot`-row block with the target
     user at row 0 and the target item at row 1 (slot_perm semantics,
     computed here with jnp.where instead of a host permutation). Per
     dispatch only the id vector crosses host->device; the row gathers from
-    the packed tables happen ONCE per batch (not per layer)."""
+    the packed tables happen ONCE per batch (not per layer).
+
+    With `num_u_slot` set, assemble the BIPARTITE layout instead: users in
+    rows [0, num_u_slot) (packed order: target user first), items in rows
+    [num_u_slot, node_slot) (target item first) — DenseBatch.num_u. The
+    packed tables store src user-local and dst = num_u + item-local
+    (graphs/extract.py), so the row maps are pure offsets."""
     from .dense import DenseBatch
 
     B = gids.shape[0]
@@ -203,23 +212,32 @@ def assemble_dense(dd: DeviceDataset, gids, node_slot: int,
     counts_n = ((dd.node_off[g + 1] - dd.node_off[g]) * gmask)[:, None]
     counts_e = ((dd.edge_off[g + 1] - dd.edge_off[g]) * gmask)[:, None]
 
-    # nodes: slot row r -> packed-local index (inverse of dense.slot_perm)
     r = jnp.arange(n, dtype=jnp.int32)[None, :]            # [1, n]
-    packed_local = jnp.where(
-        r == 0, 0, jnp.where(r == 1, nu, jnp.where(r <= nu, r - 1, r)))
-    nvalid = (r < counts_n) & gmask[:, None]
-    nidx = dd.node_off[g][:, None] + jnp.where(nvalid, packed_local, 0)
-    node_label = jnp.where(nvalid, dd.node_label[nidx], 0).astype(jnp.int32)
-
-    # forward edges: remap endpoints into slot rows
     e = jnp.arange(E, dtype=jnp.int32)[None, :]
     evalid = (e < counts_e) & gmask[:, None]
     epos = dd.edge_off[g][:, None] + jnp.where(evalid, e, 0)
     # tables may be int8/int16-compacted: upcast right after the gather
     src_p = dd.src[epos].astype(jnp.int32)                 # user-local
     dst_p = dd.dst[epos].astype(jnp.int32)                 # num_u + item-local
-    edge_src = jnp.where(evalid, jnp.where(src_p == 0, 0, src_p + 1), 0)
-    edge_dst = jnp.where(evalid, jnp.where(dst_p == nu, 1, dst_p), 0)
+
+    if num_u_slot is not None:
+        nus = int(num_u_slot)
+        # slot row -> packed-local: users keep packed order, items offset
+        packed_local = jnp.where(r < nus, r, nu + (r - nus))
+        nvalid = jnp.where(r < nus, r < jnp.minimum(counts_n, nu),
+                           (r - nus) < (counts_n - nu)) & gmask[:, None]
+        edge_src = jnp.where(evalid, src_p, 0)
+        edge_dst = jnp.where(evalid, nus + (dst_p - nu), nus)
+    else:
+        # unified: inverse of dense.slot_perm
+        packed_local = jnp.where(
+            r == 0, 0, jnp.where(r == 1, nu, jnp.where(r <= nu, r - 1, r)))
+        nvalid = (r < counts_n) & gmask[:, None]
+        edge_src = jnp.where(evalid, jnp.where(src_p == 0, 0, src_p + 1), 0)
+        edge_dst = jnp.where(evalid, jnp.where(dst_p == nu, 1, dst_p), 0)
+
+    nidx = dd.node_off[g][:, None] + jnp.where(nvalid, packed_local, 0)
+    node_label = jnp.where(nvalid, dd.node_label[nidx], 0).astype(jnp.int32)
     edge_type = jnp.where(evalid, dd.etype[epos].astype(jnp.int32), 0)
 
     y = jnp.where(gmask, dd.y[g], 0.0).astype(jnp.float32)
@@ -233,6 +251,7 @@ def assemble_dense(dd: DeviceDataset, gids, node_slot: int,
                 else None),
         v_feat=(dd.v_feat[g] * gmask[:, None] if dd.v_feat is not None
                 else None),
+        num_u=(int(num_u_slot) if num_u_slot is not None else None),
     )
 
 

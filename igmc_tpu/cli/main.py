@@ -164,6 +164,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "measured production path), 'adjacency' = "
                         "precomputed per-relation [B,R,n,n] adjacencies "
                         "shared by all layers (models/rgcn.py). auto = edge")
+    p.add_argument("--dense-layout", default="auto",
+                   choices=["auto", "unified", "bipartite"],
+                   help="dense slot layout (batch-mode dense, static data): "
+                        "'unified' = one n-row slot per graph; 'bipartite' "
+                        "= users and items in separate static slot ranges, "
+                        "halving the R-GCN trunk's one-hot matmul widths "
+                        "with identical math (batching/dense.py "
+                        "DenseBatch.num_u; igmc only). auto = bipartite "
+                        "for static igmc dense runs, else unified")
     p.add_argument("--dense-buckets", type=int, default=3,
                    help="max dense slot shapes (batch_mode=dense): more "
                         "buckets = less padded compute per epoch but ~2 "
@@ -517,6 +526,23 @@ def main(argv=None):
                 and args.batch_size % args.dense_chunk:
             raise SystemExit(f"--dense-chunk ({args.dense_chunk}) must "
                              f"divide --batch-size ({args.batch_size})")
+    static_data = not (args.dynamic_train or args.dynamic_test
+                       or args.dynamic_val)
+    dense_layout = args.dense_layout
+    if dense_layout == "bipartite":
+        if args.model != "igmc":
+            raise SystemExit("--dense-layout bipartite applies to the "
+                             "R-GCN trunk; use --model igmc")
+        if batch_mode != "dense" or not static_data:
+            raise SystemExit("--dense-layout bipartite needs the "
+                             "device-resident dense path (batch-mode dense "
+                             "+ static datasets)")
+    elif dense_layout == "auto":
+        dense_layout = ("bipartite" if batch_mode == "dense"
+                        and args.model == "igmc" and static_data
+                        else "unified")
+        if batch_mode == "dense":
+            print(f"dense layout: {dense_layout} (auto)")
     mesh = None
     if args.n_devices > 1:
         from ..parallel import make_mesh
@@ -539,6 +565,7 @@ def main(argv=None):
             superbatch=args.superbatch, mesh=mesh,
             batch_mode=batch_mode, dense_buckets=args.dense_buckets,
             flat_aggregate=flat_aggregate, dense_chunk=args.dense_chunk,
+            dense_layout=dense_layout,
         )
 
     # resolve_checkpoint accepts both this framework's .ckpt and the
@@ -594,14 +621,16 @@ def main(argv=None):
                          ensemble=True, checkpoints=checkpoints,
                          batch_mode=batch_mode,
                          flat_aggregate=flat_aggregate,
-                         dense_chunk=args.dense_chunk)
+                         dense_chunk=args.dense_chunk,
+                         dense_layout=dense_layout)
         print("Ensemble test rmse is: {:.6f}".format(rmse))
     elif args.transfer:
         params_t = load_checkpoint(model_pos, params)
         rmse = test_once(test_graphs, fwd, params, args.batch_size,
                          params=params_t, batch_mode=batch_mode,
                          flat_aggregate=flat_aggregate,
-                         dense_chunk=args.dense_chunk)
+                         dense_chunk=args.dense_chunk,
+                         dense_layout=dense_layout)
         epoch_info = "transfer {}, epochs {}".format(args.transfer, args.epochs)
         print("Test rmse is: {:.6f}".format(rmse))
     else:

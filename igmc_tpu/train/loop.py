@@ -252,7 +252,7 @@ def make_dense_device_train_step(forward: Callable, optimizer,
                                  node_slot: int, edge_slot: int,
                                  ARR: float = 0.0,
                                  with_arr_params: bool = True,
-                                 mesh=None):
+                                 mesh=None, num_u_slot=None):
     """Device-resident scan step over the DENSE layout: each iteration
     assembles a DenseBatch in its (node_slot, edge_slot) bucket shape on
     device and runs one optimizer step. One instance per bucket shape
@@ -282,7 +282,8 @@ def make_dense_device_train_step(forward: Callable, optimizer,
         def body(carry, xs):
             params, opt_state = carry
             gids, k_idx = xs
-            batch = assemble_dense(dd, gids, node_slot, edge_slot)
+            batch = assemble_dense(dd, gids, node_slot, edge_slot,
+                                   num_u_slot)
             kk = jax.random.fold_in(key, step0 + k_idx)
             (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch, kk
@@ -312,7 +313,8 @@ def make_dense_device_train_step(forward: Callable, optimizer,
 def make_chunked_dense_device_train_step(forward: Callable, optimizer,
                                          node_slot: int, edge_slot: int,
                                          chunk: int, ARR: float = 0.0,
-                                         with_arr_params: bool = True):
+                                         with_arr_params: bool = True,
+                                         num_u_slot=None):
     """Device-resident GIANT-batch step: same (params, opt_state, loss_acc,
     dd, [K, B] gid_block, key, step0) interface as
     make_dense_device_train_step, but each row's B graphs are streamed as
@@ -331,7 +333,7 @@ def make_chunked_dense_device_train_step(forward: Callable, optimizer,
     from ..batching.device_data import assemble_dense
 
     def chunk_sums(params, dd, gids, kk):
-        batch = assemble_dense(dd, gids, node_slot, edge_slot)
+        batch = assemble_dense(dd, gids, node_slot, edge_slot, num_u_slot)
         preds = forward(params, batch, key=kk, training=True)
         gmask = batch.graph_mask.astype(jnp.float32)
         sse = jnp.sum(((preds - batch.y) ** 2) * gmask)
@@ -390,7 +392,8 @@ def make_chunked_dense_device_train_step(forward: Callable, optimizer,
 
 
 def make_dense_device_eval_step(forward: Callable, node_slot: int,
-                                edge_slot: int, mesh=None):
+                                edge_slot: int, mesh=None,
+                                num_u_slot=None):
     """`acc` is a running (sse, cnt) pair threaded (donated) through the
     eval dispatches — same eager-op-free epoch discipline as the train
     steps. Returns ((sse, cnt), preds)."""
@@ -405,7 +408,8 @@ def make_dense_device_eval_step(forward: Callable, node_slot: int,
     @partial(jax.jit, donate_argnums=(1,), **jit_kw)
     def steps(params, acc, dd, gid_block):
         def body(_, gids):
-            batch = assemble_dense(dd, gids, node_slot, edge_slot)
+            batch = assemble_dense(dd, gids, node_slot, edge_slot,
+                                   num_u_slot)
             preds = forward(params, batch, key=None, training=False)
             gmask = batch.graph_mask.astype(jnp.float32)
             sse = jnp.sum(((preds - batch.y) ** 2) * gmask)
@@ -728,6 +732,7 @@ def train_multiple_epochs(
     dense_buckets: int = 3,
     flat_aggregate: Optional[str] = None,
     dense_chunk: int = 0,
+    dense_layout: str = "unified",
 ):
     """Full training run; returns the final test RMSE.
 
@@ -829,7 +834,8 @@ def train_multiple_epochs(
                 raise ValueError(
                     f"dense_chunk ({dense_chunk}) must divide "
                     f"batch_size ({batch_size})")
-        from ..batching.dense import plan_dense_buckets
+        from ..batching.dense import (plan_bipartite_buckets,
+                                      plan_dense_buckets)
         from ..batching.device_data import DeviceDataset
 
         dense = True
@@ -842,28 +848,44 @@ def train_multiple_epochs(
                                  sharding=dd_shd)
         dd_test = DeviceDataset(test_dataset.packed, 8, 16, batch_size,
                                 sharding=dd_shd)
-        tr_buckets = plan_dense_buckets(
-            train_dataset.node_counts(), train_dataset.edge_counts() // 2,
-            max_buckets=dense_buckets)
-        te_buckets = plan_dense_buckets(
-            test_dataset.node_counts(), test_dataset.edge_counts() // 2,
-            max_buckets=dense_buckets)
+        if dense_layout == "bipartite":
+            # per-side slot widths halve the trunk's one-hot MAC/VPU work
+            # (batching/dense.py DenseBatch.num_u); same math
+            def _plan(ds):
+                nu = ds.packed.num_u
+                return plan_bipartite_buckets(
+                    nu, ds.node_counts() - nu, ds.edge_counts() // 2,
+                    max_buckets=dense_buckets)
+            tr_buckets = _plan(train_dataset)
+            te_buckets = _plan(test_dataset)
+        elif dense_layout == "unified":
+            tr_buckets = plan_dense_buckets(
+                train_dataset.node_counts(),
+                train_dataset.edge_counts() // 2,
+                max_buckets=dense_buckets)
+            te_buckets = plan_dense_buckets(
+                test_dataset.node_counts(), test_dataset.edge_counts() // 2,
+                max_buckets=dense_buckets)
+        else:
+            raise ValueError(f"unknown dense_layout {dense_layout!r} "
+                             "(unified|bipartite)")
         if dense_chunk:
             dense_steps = [
                 make_chunked_dense_device_train_step(
                     forward, optimizer, b.node_slot, b.edge_slot,
-                    dense_chunk, ARR)
+                    dense_chunk, ARR, num_u_slot=b.num_u_slot)
                 for b in tr_buckets
             ]
         else:
             dense_steps = [
                 make_dense_device_train_step(forward, optimizer, b.node_slot,
-                                             b.edge_slot, ARR, mesh=mesh)
+                                             b.edge_slot, ARR, mesh=mesh,
+                                             num_u_slot=b.num_u_slot)
                 for b in tr_buckets
             ]
         dense_evals = [
             make_dense_device_eval_step(forward, b.node_slot, b.edge_slot,
-                                        mesh=mesh)
+                                        mesh=mesh, num_u_slot=b.num_u_slot)
             for b in te_buckets
         ]
         # Giant batches would spill eval intermediates too: eval in
@@ -1274,6 +1296,7 @@ def test_once(
     batch_mode: str = "flat",
     flat_aggregate: Optional[str] = None,
     dense_chunk: int = 0,
+    dense_layout: str = "unified",
 ):
     """Evaluate once — single params or a prediction-averaged ensemble.
 
@@ -1299,16 +1322,24 @@ def test_once(
             print(f"test_once: dense eval unavailable — {why}; "
                   "using the flat path")
     if dense:
-        from ..batching.dense import plan_dense_buckets
+        from ..batching.dense import (plan_bipartite_buckets,
+                                      plan_dense_buckets)
         from ..batching.device_data import DeviceDataset
 
         if dense_chunk and dense_chunk < batch_size:
             batch_size = dense_chunk
         dd = DeviceDataset(test_dataset.packed, 8, 16, batch_size)
-        buckets = plan_dense_buckets(test_dataset.node_counts(),
-                                     test_dataset.edge_counts() // 2)
+        if dense_layout == "bipartite":
+            nu = test_dataset.packed.num_u
+            buckets = plan_bipartite_buckets(
+                nu, test_dataset.node_counts() - nu,
+                test_dataset.edge_counts() // 2)
+        else:
+            buckets = plan_dense_buckets(test_dataset.node_counts(),
+                                         test_dataset.edge_counts() // 2)
         eval_fns = [make_dense_device_eval_step(forward, b.node_slot,
-                                                b.edge_slot)
+                                                b.edge_slot,
+                                                num_u_slot=b.num_u_slot)
                     for b in buckets]
         ys = np.asarray(test_dataset.packed.y, dtype=np.float32)
     else:

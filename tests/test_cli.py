@@ -397,3 +397,65 @@ def test_cli_dynamic_dense_alternate_model(tmp_path, monkeypatch):
     losses = [float(l.split(",")[1].split(" ")[-1]) for l in log]
     assert losses[1] < losses[0]
     assert np.isfinite(float(log[-1].split(" ")[-1]))
+
+
+@pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+def test_cli_bipartite_dense_trains_and_ensembles(tmp_path, monkeypatch,
+                                                  capsys):
+    """Static igmc dense runs auto-pick the bipartite slot layout (halved
+    one-hot widths, batching/dense.py DenseBatch.num_u) and train +
+    ensemble end-to-end through the real argv surface."""
+    from igmc_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    main([
+        "--data-name", "flixster", "--testing", "--debug",
+        "--epochs", "2", "--batch-size", "50", "--save-interval", "1",
+        "--max-train-num", "150", "--max-test-num", "60", "--ensemble",
+    ])
+    out = capsys.readouterr().out
+    assert "dense layout: bipartite (auto)" in out
+    res = tmp_path / "results" / "flixster_testmode"
+    lines = (res / "log.txt").read_text().strip().splitlines()
+    assert "ensemble" in lines[-1]
+    assert np.isfinite(float(lines[-1].split(" ")[-1]))
+
+
+@pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
+def test_cli_bipartite_matches_unified_eval(tmp_path, monkeypatch):
+    """--dense-layout unified vs bipartite: evaluation is batching-
+    invariant, so --no-train + --ensemble over the SAME checkpoints gives
+    the same RMSE through both layouts."""
+    from igmc_tpu.cli.main import main
+
+    monkeypatch.chdir(tmp_path)
+    base = ["--data-name", "flixster", "--testing", "--debug",
+            "--epochs", "2", "--batch-size", "50", "--save-interval", "1",
+            "--max-train-num", "120", "--max-test-num", "60"]
+    main(base + ["--save-appendix", "_u", "--dense-layout", "unified",
+                 "--ensemble"])
+    res_u = tmp_path / "results" / "flixster_u_testmode"
+    # evaluate the SAME checkpoints under the bipartite layout
+    main(base + ["--save-appendix", "_u", "--dense-layout", "bipartite",
+                 "--ensemble", "--no-train"])
+    lines = (res_u / "log.txt").read_text().strip().splitlines()
+    ens = [float(l.split(" ")[-1]) for l in lines if "ensemble" in l]
+    assert len(ens) == 2
+    assert ens[0] == pytest.approx(ens[1], abs=2e-4)
+
+
+def test_cli_bipartite_flag_validation():
+    from igmc_tpu.cli.main import main
+
+    with pytest.raises(SystemExit):
+        main(["--data-name", "flixster", "--testing", "--debug",
+              "--epochs", "1", "--dense-layout", "bipartite",
+              "--model", "dgcnn"])
+    with pytest.raises(SystemExit):
+        main(["--data-name", "flixster", "--testing", "--debug",
+              "--epochs", "1", "--dense-layout", "bipartite",
+              "--dynamic-dataset"])
+    with pytest.raises(SystemExit):
+        main(["--data-name", "flixster", "--testing", "--debug",
+              "--epochs", "1", "--dense-layout", "bipartite",
+              "--batch-mode", "flat"])
