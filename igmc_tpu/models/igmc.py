@@ -329,17 +329,17 @@ def _igmc_forward_dense(params, batch: DenseBatch, cfg: IGMCConfig,
                 "dense_strategy='adjacency' is unified-layout only; the "
                 "bipartite layout's halved one-hot widths supersede it")
         # BIPARTITE slot layout: per-side one-hot widths, targets at
-        # static rows (0, num_u) — see batching/dense.py DenseBatch
-        states = []
+        # static rows (0, num_u) — see batching/dense.py DenseBatch.
+        # Readout slices per layer (targets only), as the unified branch.
+        t_states = []
         for conv_params in params["convs"]:
             x = jnp.tanh(rgcn_dense_bipartite_apply(
                 conv_params, x, batch.num_u, batch.edge_src, batch.edge_dst,
                 batch.edge_type, mask_f, mask_r, cfg.aggr, cd))
-            states.append(x)
-        concat_states = jnp.concatenate(states, axis=-1)
-        h = jnp.concatenate(
-            [concat_states[:, 0, :], concat_states[:, batch.num_u, :]],
-            axis=-1)
+            t_states.append(
+                jnp.stack([x[:, 0, :], x[:, batch.num_u, :]], axis=1))
+        ts = jnp.concatenate(t_states, axis=-1)  # [B, 2, sum(latent)]
+        h = jnp.concatenate([ts[:, 0, :], ts[:, 1, :]], axis=-1)
         if cfg.side_features:
             h = jnp.concatenate([h, batch.u_feat, batch.v_feat], axis=-1)
         h = jax.nn.relu(linear_apply(params["lin1"], h))
@@ -361,7 +361,11 @@ def _igmc_forward_dense(params, batch: DenseBatch, cfg: IGMCConfig,
         inv_deg = (dense_adj_degrees(adj_f, adj_r)
                    if cfg.aggr == "mean" else None)
 
-    states = []
+    # IGMC's readout touches ONLY the two target rows, so collect the
+    # per-layer target slices instead of concatenating full [B, n, sum]
+    # states (the concat's layout copies were ~8% of the dense forward in
+    # the round-5 xplane profile).
+    t_states = []
     for conv_params in params["convs"]:
         if use_adj:
             h = rgcn_dense_adj_apply(conv_params, x, adj_f, adj_r,
@@ -369,13 +373,13 @@ def _igmc_forward_dense(params, batch: DenseBatch, cfg: IGMCConfig,
         else:
             h = rgcn_dense_apply(conv_params, x, batch.edge_src,
                                  batch.edge_dst, batch.edge_type,
-                                 mask_f, mask_r, cfg.aggr, cd)
+                                 mask_f, mask_r, cfg.aggr, cd,
+                                 per_basis=cfg.dense_strategy == "edge-k")
         x = jnp.tanh(h)
-        states.append(x)
-    concat_states = jnp.concatenate(states, axis=-1)  # [B, n, sum(latent)]
+        t_states.append(x[:, :2, :])  # rows 0 (user) and 1 (item)
 
-    h = jnp.concatenate(
-        [concat_states[:, 0, :], concat_states[:, 1, :]], axis=-1)
+    ts = jnp.concatenate(t_states, axis=-1)  # [B, 2, sum(latent)]
+    h = jnp.concatenate([ts[:, 0, :], ts[:, 1, :]], axis=-1)
     if cfg.side_features:
         h = jnp.concatenate([h, batch.u_feat, batch.v_feat], axis=-1)
 

@@ -130,7 +130,8 @@ def rgcn_apply(params, x, edge_src, edge_dst, edge_type, edge_mask,
 
 
 def rgcn_dense_apply(params, x, edge_src, edge_dst, edge_type,
-                     mask_f, mask_r, aggr: str = "mean", compute_dtype=None):
+                     mask_f, mask_r, aggr: str = "mean", compute_dtype=None,
+                     per_basis: bool = False, prebuilt=None):
     """Relational graph convolution over DENSE-BLOCKED batches (batching/
     dense.py): x is [B, n, C], edges are FORWARD-only [B, E] graph-local
     indices, and messages flow in both directions (the reverse direction is
@@ -160,9 +161,14 @@ def rgcn_dense_apply(params, x, edge_src, edge_dst, edge_type,
 
     mf = mask_f.astype(cd)
     mr = mask_r.astype(cd)
-    src_oh = jax.nn.one_hot(edge_src, n, dtype=cd)   # [B, E, n]
-    dst_oh = jax.nn.one_hot(edge_dst, n, dtype=cd)
-    rel_oh = jax.nn.one_hot(edge_type, R, dtype=cd)  # [B, E, R]
+    if prebuilt is not None:
+        # layer-invariant tensors built once per forward by the caller
+        # (see dense_onehots) — saves the per-layer VPU rematerialization
+        src_oh, dst_oh, rel_oh = prebuilt
+    else:
+        src_oh = jax.nn.one_hot(edge_src, n, dtype=cd)   # [B, E, n]
+        dst_oh = jax.nn.one_hot(edge_dst, n, dtype=cd)
+        rel_oh = jax.nn.one_hot(edge_type, R, dtype=cd)  # [B, E, R]
     att_e = rel_oh @ params["att"].astype(cd)        # [B, E, nb] (MXU gather)
 
     xc = x.astype(cd)
@@ -183,13 +189,27 @@ def rgcn_dense_apply(params, x, edge_src, edge_dst, edge_type,
         af = att_e * mf[..., None]
         ar = att_e * mr[..., None]
 
-    # t[b,e,(k,c)] = af[b,e,k] * xs[b,e,c]; z = dst_ohT @ t  (and reverse)
-    tf = jnp.einsum("bek,bec->bekc", af, xs).reshape(B, -1, nb * Cin)
-    tr = jnp.einsum("bek,bec->bekc", ar, xd).reshape(B, -1, nb * Cin)
-    z = (jnp.einsum("bei,bem->bim", dst_oh, tf,
-                    preferred_element_type=jnp.float32)
-         + jnp.einsum("bei,bem->bim", src_oh, tr,
-                      preferred_element_type=jnp.float32))  # [B, n, nb*Cin]
+    if per_basis:
+        # per-basis fused scatters: nb small dots whose lhs multiply
+        # (af_k * xs) fuses into the dot operand read — avoids
+        # materializing the [B, E, nb*Cin] outer product (the dense
+        # trunk's largest single cost in the round-5 xplane profile)
+        zs = []
+        for k in range(nb):
+            sf = jnp.einsum("bei,bec->bic", dst_oh, af[..., k, None] * xs,
+                            preferred_element_type=jnp.float32)
+            sr = jnp.einsum("bei,bec->bic", src_oh, ar[..., k, None] * xd,
+                            preferred_element_type=jnp.float32)
+            zs.append(sf + sr)
+        z = jnp.stack(zs, axis=2).reshape(B, n, nb * Cin)
+    else:
+        # t[b,e,(k,c)] = af[b,e,k] * xs[b,e,c]; z = dst_ohT @ t (and rev)
+        tf = jnp.einsum("bek,bec->bekc", af, xs).reshape(B, -1, nb * Cin)
+        tr = jnp.einsum("bek,bec->bekc", ar, xd).reshape(B, -1, nb * Cin)
+        z = (jnp.einsum("bei,bem->bim", dst_oh, tf,
+                        preferred_element_type=jnp.float32)
+             + jnp.einsum("bei,bem->bim", src_oh, tr,
+                          preferred_element_type=jnp.float32))
     agg = (z @ params["basis"].reshape(nb * Cin, Cout)).astype(jnp.float32)
 
     if aggr == "mean":
@@ -300,23 +320,21 @@ def build_dense_adj(edge_src, edge_dst, edge_type, mask, num_relations: int,
 def rgcn_dense_adj_apply(params, x, adj_f, adj_r=None, aggr: str = "mean",
                          compute_dtype=None, inv_deg=None):
     """R-GCN layer over a dense-blocked batch via PRECOMPUTED per-relation
-    adjacencies (build_dense_adj) — same math as rgcn_dense_apply, ~4x
-    fewer MACs per layer at IGMC shapes ON PAPER; measured 2.4-5x SLOWER
-    on v5e (2026-08-17, scripts note in IGMCConfig.dense_strategy): the
-    [B, R, n, n] adjacency round-trips HBM every layer while XLA keeps
-    the edge path's [B, E, *] chain fused in VMEM. Kept as an explicitly
-    selectable strategy (IGMCConfig.dense_strategy='adjacency') because
-    the trade flips when E/n^2 density grows well past IGMC's subgraphs.
+    adjacencies (build_dense_adj) — same math as rgcn_dense_apply with a
+    different contraction order of the same 4-tensor network
+    (A · att · x · basis):
 
-    Per layer the relation axis is folded with the basis attention first,
-        W[b, k, i, j] = Σ_r att[r, k] · A[b, r, i, j]      (R·nb·n² MACs)
-    then both directions are plain batched matmuls with x,
-        zf[b,i] = Σ_j W[b,:,i,j] x[b,j]   (forward: dst i ← src j)
-        zr[b,i] = Σ_j W[b,:,j,i] x[b,j]   (reverse edges)
-    and the basis projection closes it. Cost per layer ≈ nb·n²·(R + 2C)
-    MACs vs the edge formulation's ≈ 2·E·n·(C + nb·C) — ~4x fewer at
-    (n=64, E=256, C=32, nb=4) — while the O(E)-sized build is paid once
-    per FORWARD, not per layer.
+        M[b,r,j,o] = Σ_k att[r,k] · (x[b,j,:] @ basis[k])    (per-node)
+        zf[b,i,o]  = Σ_{r,j} A_f[b,r,i,j] · M[b,r,j,o]       (dst i ← src j)
+        zr[b,i,o]  = Σ_{r,j} A_r[b,r,j,i] · M[b,r,j,o]       (reverse)
+
+    This "M-ordering" materializes only per-NODE tensors ([B,n,nb,Cout]
+    and [B,R,n,Cout]) — there is no per-edge [B,E,nb·C] outer product
+    (the edge path's dominant VPU cost, round-5 xplane profile) and no
+    per-layer [B,nb,n,n] W (the round-2 adjacency path's HBM cost).
+    Per layer ≈ n·nb·Cin·Cout + R·nb·n·Cout + 2·R·n²·Cout MACs vs the
+    edge formulation's ≈ 2·E·n·(Cin + nb·Cin); the O(E) A-build is paid
+    once per FORWARD and shared by all layers.
 
     `adj_r`: separate reverse-direction adjacency when edge-dropout masks
     are NOT tied across directions (force_undirected=False); None means
@@ -329,16 +347,17 @@ def rgcn_dense_adj_apply(params, x, adj_f, adj_r=None, aggr: str = "mean",
     cd = compute_dtype or jnp.float32
 
     att = params["att"].astype(cd)                       # [R, nb]
-    Wf = jnp.einsum("rk,brij->bkij", att, adj_f.astype(cd))
-    Wr = Wf if adj_r is None else jnp.einsum("rk,brij->bkij", att,
-                                             adj_r.astype(cd))
     xc = x.astype(cd)
-    zf = jnp.einsum("bkij,bjc->bikc", Wf, xc)
-    zr = jnp.einsum("bkji,bjc->bikc", Wr, xc)
-    z = (zf + zr).reshape(B, n, nb * Cin)
-    agg = jnp.einsum("bim,mo->bio", z,
-                     params["basis"].reshape(nb * Cin, Cout).astype(cd),
-                     preferred_element_type=jnp.float32).astype(jnp.float32)
+    basis = params["basis"].astype(cd)                   # [nb, Cin, Cout]
+    h = jnp.einsum("bjc,kco->bjko", xc, basis)           # [B, n, nb, Cout]
+    m = jnp.einsum("rk,bjko->brjo", att, h)              # [B, R, n, Cout]
+    af = adj_f.astype(cd)
+    ar = af if adj_r is None else adj_r.astype(cd)
+    zf = jnp.einsum("brij,brjo->bio", af, m,
+                    preferred_element_type=jnp.float32)
+    zr = jnp.einsum("brji,brjo->bio", ar, m,
+                    preferred_element_type=jnp.float32)
+    agg = (zf + zr).astype(jnp.float32)
 
     if aggr == "mean":
         agg = agg * inv_deg[..., None]
