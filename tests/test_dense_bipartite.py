@@ -269,3 +269,94 @@ def test_train_end_to_end_bipartite():
     # same ballpark as the unified golden (1.6546); composition differs
     # (bipartite bucket membership), math doesn't
     assert 1.0 < rmse < 2.2, rmse
+
+
+# ---------------------------------------------------------------------------
+# Relation-slotted edge axis (DenseBatch.rel_caps)
+# ---------------------------------------------------------------------------
+
+def make_relslot(rng, n_graphs=6, num_relations=5, bipartite=False):
+    from igmc_tpu.batching.dense import plan_rel_caps
+
+    graphs = [random_subgraph(rng, num_relations=num_relations)
+              for _ in range(n_graphs)]
+    caps = plan_rel_caps([g.etype for g in graphs], num_relations)
+    ns = max(g.num_nodes for g in graphs) + 3
+    dense = collate_dense(graphs, n_graphs + 1, ns,
+                          max(len(g.src) for g in graphs) + 5)
+    kw = {}
+    if bipartite:
+        nu = max(g.num_u for g in graphs) + 2
+        nv = max(g.num_v for g in graphs) + 3
+        ns = nu + nv
+        kw["num_u_slot"] = nu
+    rel = collate_dense(graphs, n_graphs + 1, ns, sum(caps),
+                        rel_caps=caps, **kw)
+    return graphs, dense, rel
+
+
+def test_collate_relslot_layout():
+    rng = np.random.default_rng(10)
+    graphs, _, rel = make_relslot(rng)
+    caps = rel.rel_caps
+    offs = np.concatenate([[0], np.cumsum(caps)])
+    for gi, g in enumerate(graphs):
+        for r in range(5):
+            seg_types = rel.edge_type[gi, offs[r]:offs[r + 1]]
+            assert (seg_types == r).all()  # real AND padded positions
+            n_real = int(rel.edge_mask[gi, offs[r]:offs[r + 1]].sum())
+            assert n_real == int((g.etype == r).sum())
+    assert int(rel.edge_mask.sum()) == sum(len(g.src) for g in graphs)
+
+
+@pytest.mark.parametrize("aggr", ["mean", "sum"])
+@pytest.mark.parametrize("bipartite", [False, True])
+def test_relslot_forward_matches_dense(aggr, bipartite):
+    rng = np.random.default_rng(11)
+    graphs, dense, rel = make_relslot(rng, bipartite=bipartite)
+    cfg = IGMCConfig(num_features=8, num_relations=5, adj_dropout=0.0,
+                     aggr=aggr)
+    params = igmc_init(jax.random.PRNGKey(12), cfg)
+    out_dense = igmc_forward(params, dense, cfg)
+    out_rel = igmc_forward(params, rel, cfg)
+    B = len(graphs)
+    np.testing.assert_allclose(out_dense[:B], out_rel[:B], rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_relslot_grad_matches_dense():
+    rng = np.random.default_rng(12)
+    graphs, dense, rel = make_relslot(rng)
+    cfg = IGMCConfig(num_features=8, num_relations=5, adj_dropout=0.0)
+    params = igmc_init(jax.random.PRNGKey(13), cfg)
+
+    def loss(p, batch):
+        out = igmc_forward(p, batch, cfg)
+        m = batch.graph_mask.astype(jnp.float32)
+        return jnp.sum((out - batch.y) ** 2 * m) / m.sum()
+
+    gd = jax.grad(loss)(params, dense)
+    gr = jax.grad(loss)(params, rel)
+    for a, b in zip(jax.tree_util.tree_leaves(gd),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_relslot_dropout_trains_finite():
+    rng = np.random.default_rng(13)
+    _, _, rel = make_relslot(rng, bipartite=True)
+    cfg = IGMCConfig(num_features=8, num_relations=5, adj_dropout=0.5)
+    params = igmc_init(jax.random.PRNGKey(14), cfg)
+    out = igmc_forward(params, rel, cfg, key=jax.random.PRNGKey(15),
+                       training=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_relslot_relmean_raises():
+    rng = np.random.default_rng(14)
+    _, _, rel = make_relslot(rng)
+    cfg = IGMCConfig(num_features=8, num_relations=5, adj_dropout=0.0,
+                     aggr="relmean")
+    params = igmc_init(jax.random.PRNGKey(16), cfg)
+    with pytest.raises(ValueError, match="relslot"):
+        igmc_forward(params, rel, cfg)
