@@ -291,7 +291,8 @@ def bench_dense_shape(name: str, num_relations: int, num_graphs: int,
                       K: int = 64, calls: int = 4, train: bool = False,
                       fill_nodes: float = 0.9, fill_edges: float = 0.9,
                       compute_dtype=None, chunk: int = 0,
-                      bipartite: bool = False) -> dict:
+                      bipartite: bool = False,
+                      relslot: bool = False) -> dict:
     """Dense-blocked layout (batching/dense.py): same chained-scan timing
     discipline as bench_shape. Real edges = 2x masked forward edges (both
     directions are aggregated by rgcn_dense_apply).
@@ -315,7 +316,7 @@ def bench_dense_shape(name: str, num_relations: int, num_graphs: int,
     batch = _synthetic_dense_batch(
         num_graphs=num_graphs, node_slot=node_slot, edge_slot=edge_slot,
         num_relations=num_relations, fill_nodes=fill_nodes,
-        fill_edges=fill_edges, bipartite=bipartite)
+        fill_edges=fill_edges, bipartite=bipartite, relslot=relslot)
     n_real = 2 * int(np.asarray(batch.edge_mask).sum())
     batch = jax.device_put(batch)
 

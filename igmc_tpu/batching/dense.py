@@ -68,6 +68,13 @@ class DenseBatch:
     stacked: Optional[str] = None
     # Pytree AUX: static user/item slot boundary (bipartite layout) or None.
     num_u: Optional[int] = None
+    # Pytree AUX: RELATION-SLOTTED edge axis (or None): tuple of R static
+    # per-relation capacities summing to edge_slot. Each graph's
+    # relation-r edges occupy [off_r, off_r + count_r) where
+    # off_r = sum(caps[:r]) — so the layer reads the relation from the
+    # POSITION and needs no rel one-hot and no per-edge [E, nb*C] outer
+    # product (models/rgcn.py rgcn_dense_relslot_apply).
+    rel_caps: Optional[tuple] = None
 
     @property
     def num_graphs(self) -> int:
@@ -94,8 +101,10 @@ def _register_pytree():
     ]
     jax.tree_util.register_pytree_node(
         DenseBatch,
-        lambda b: ([getattr(b, f) for f in fields], (b.stacked, b.num_u)),
-        lambda aux, xs: DenseBatch(*xs, stacked=aux[0], num_u=aux[1]),
+        lambda b: ([getattr(b, f) for f in fields],
+                   (b.stacked, b.num_u, b.rel_caps)),
+        lambda aux, xs: DenseBatch(*xs, stacked=aux[0], num_u=aux[1],
+                                   rel_caps=aux[2]),
     )
 
 
@@ -126,6 +135,7 @@ def collate_dense(
     node_slot: int,
     edge_slot: int,
     num_u_slot: Optional[int] = None,
+    rel_caps: Optional[tuple] = None,
 ) -> DenseBatch:
     """Pack subgraphs one-per-slot. Slots must fit the largest graph.
 
@@ -135,10 +145,21 @@ def collate_dense(
     [num_u_slot, node_slot) (target item first) — no permutation at all,
     each side just offset. Requires num_u <= num_u_slot and
     num_v <= node_slot - num_u_slot for every graph.
+
+    With `rel_caps` (tuple of R per-relation capacities summing to
+    edge_slot), pack the RELATION-SLOTTED edge axis: each graph's
+    relation-r edges land at [sum(caps[:r]), sum(caps[:r]) + count_r).
+    Composes with the bipartite node layout.
     """
     B, n, E = num_graphs, node_slot, edge_slot
     n_real = len(graphs)
     assert n_real <= B
+    if rel_caps is not None:
+        rel_caps = tuple(int(c) for c in rel_caps)
+        if sum(rel_caps) != E:
+            raise ValueError(f"rel_caps {rel_caps} must sum to edge_slot {E}")
+        rel_off = np.concatenate([[0], np.cumsum(rel_caps)[:-1]]).astype(
+            np.int64)
 
     node_label = np.zeros((B, n), dtype=np.int32)
     node_mask = np.zeros((B, n), dtype=bool)
@@ -181,10 +202,22 @@ def collate_dense(
             node_mask[gi, :g.num_u] = True
             node_mask[gi, num_u_slot:num_u_slot + g.num_v] = True
         node_label[gi, perm] = g.node_label
-        edge_src[gi, :ne] = perm[g.src]
-        edge_dst[gi, :ne] = perm[g.dst]
-        edge_type[gi, :ne] = g.etype
-        edge_mask[gi, :ne] = True
+        if rel_caps is None:
+            epos = np.arange(ne)
+        else:
+            # place relation-r edges in their static segment
+            epos = np.empty(ne, dtype=np.int64)
+            for r_ in np.unique(g.etype):
+                sel = np.flatnonzero(g.etype == r_)
+                if len(sel) > rel_caps[r_]:
+                    raise ValueError(
+                        f"graph has {len(sel)} relation-{r_} edges > "
+                        f"capacity {rel_caps[r_]}")
+                epos[sel] = rel_off[r_] + np.arange(len(sel))
+        edge_src[gi, epos] = perm[g.src]
+        edge_dst[gi, epos] = perm[g.dst]
+        edge_type[gi, epos] = g.etype
+        edge_mask[gi, epos] = True
         y[gi] = g.y
         graph_mask[gi] = True
         if has_side:
@@ -195,12 +228,17 @@ def collate_dense(
         # padded edges must index a VALID item row so one_hot(dst - nu)
         # stays in range (they are mask-zeroed regardless)
         edge_dst[~edge_mask] = num_u_slot
+    if rel_caps is not None:
+        # padded positions carry their segment's relation id
+        for r_, (off, cap) in enumerate(zip(rel_off, rel_caps)):
+            seg = slice(int(off), int(off) + cap)
+            edge_type[:, seg][~edge_mask[:, seg]] = r_
 
     return DenseBatch(
         node_label=node_label, edge_src=edge_src, edge_dst=edge_dst,
         edge_type=edge_type, node_mask=node_mask, edge_mask=edge_mask,
         y=y, graph_mask=graph_mask, u_feat=u_feat, v_feat=v_feat,
-        num_u=num_u_slot,
+        num_u=num_u_slot, rel_caps=rel_caps,
     )
 
 
@@ -297,6 +335,19 @@ def plan_dense_buckets(
         else:
             buckets.append(DenseBucket(nslot, eslot, idx))
     return buckets
+
+
+def plan_rel_caps(etypes: Sequence[np.ndarray], num_relations: int,
+                  base: int = 8) -> tuple:
+    """Static per-relation edge capacities covering every graph: for each
+    relation r, the max count over graphs, rounded up to `base` (so each
+    segment is tile-aligned). Sum = the relation-slotted edge_slot."""
+    caps = np.zeros(num_relations, dtype=np.int64)
+    for et in etypes:
+        if len(et):
+            cnt = np.bincount(et, minlength=num_relations)
+            caps = np.maximum(caps, cnt)
+    return tuple(int(-(-max(int(c), base) // base) * base) for c in caps)
 
 
 def plan_bipartite_buckets(

@@ -323,21 +323,34 @@ def _igmc_forward_dense(params, batch: DenseBatch, cfg: IGMCConfig,
     # IGMCConfig.dense_strategy). The adjacency path stays available for
     # explicit study and for shapes where E/n grows far beyond IGMC's.
     use_adj = cfg.dense_strategy == "adjacency"
-    if batch.num_u is not None:
+    if batch.num_u is not None or batch.rel_caps is not None:
+        from .rgcn import rgcn_dense_relslot_apply
+
         if use_adj:
             raise NotImplementedError(
                 "dense_strategy='adjacency' is unified-layout only; the "
-                "bipartite layout's halved one-hot widths supersede it")
-        # BIPARTITE slot layout: per-side one-hot widths, targets at
-        # static rows (0, num_u) — see batching/dense.py DenseBatch.
+                "bipartite/relslot layouts' cheaper one-hot work "
+                "supersedes it")
+        # BIPARTITE node slots (per-side one-hot widths, targets at rows
+        # 0 / num_u) and/or RELATION-SLOTTED edges (no rel one-hot, no
+        # [B,E,nb*C] outer product) — see batching/dense.py DenseBatch.
         # Readout slices per layer (targets only), as the unified branch.
+        t_row = 1 if batch.num_u is None else batch.num_u
         t_states = []
         for conv_params in params["convs"]:
-            x = jnp.tanh(rgcn_dense_bipartite_apply(
-                conv_params, x, batch.num_u, batch.edge_src, batch.edge_dst,
-                batch.edge_type, mask_f, mask_r, cfg.aggr, cd))
+            if batch.rel_caps is not None:
+                h = rgcn_dense_relslot_apply(
+                    conv_params, x, batch.edge_src, batch.edge_dst,
+                    batch.rel_caps, mask_f, mask_r, cfg.aggr, cd,
+                    num_u=batch.num_u)
+            else:
+                h = rgcn_dense_bipartite_apply(
+                    conv_params, x, batch.num_u, batch.edge_src,
+                    batch.edge_dst, batch.edge_type, mask_f, mask_r,
+                    cfg.aggr, cd)
+            x = jnp.tanh(h)
             t_states.append(
-                jnp.stack([x[:, 0, :], x[:, batch.num_u, :]], axis=1))
+                jnp.stack([x[:, 0, :], x[:, t_row, :]], axis=1))
         ts = jnp.concatenate(t_states, axis=-1)  # [B, 2, sum(latent)]
         h = jnp.concatenate([ts[:, 0, :], ts[:, 1, :]], axis=-1)
         if cfg.side_features:

@@ -295,6 +295,79 @@ def rgcn_dense_bipartite_apply(params, x, num_u: int, edge_src, edge_dst,
     return agg + x @ params["root"] + params["bias"]
 
 
+def rgcn_dense_relslot_apply(params, x, edge_src, edge_dst, rel_caps,
+                             mask_f, mask_r, aggr: str = "mean",
+                             compute_dtype=None, num_u=None):
+    """rgcn_dense_apply over a RELATION-SLOTTED edge axis (batching/
+    dense.py DenseBatch.rel_caps): relation-r edges sit in the static
+    segment [off_r, off_r + caps[r]), so the relation is known from the
+    POSITION. Two VPU costs of the edge formulation disappear outright —
+    the [B, E, R] rel one-hot and the [B, E, nb*Cin] outer product (the
+    largest single op in the round-5 xplane profile) — replaced by R tiny
+    block dots xs[:, seg_r] @ W_r with W = att @ basis computed once per
+    layer. The gathers and the single full-width scatter are unchanged.
+
+    `num_u`: optional bipartite node-slot boundary (DenseBatch.num_u) —
+    composes: per-side one-hot widths plus relation-slotted projection.
+    Supports aggr 'mean' and 'sum' ('relmean' would need per-segment
+    degree folds; use the edge formulation there)."""
+    B, n, Cin = x.shape
+    nb, _, Cout = params["basis"].shape
+    cd = compute_dtype or jnp.float32
+    if aggr not in ("mean", "sum"):
+        raise ValueError(f"relslot strategy supports mean/sum, not {aggr}")
+
+    W = rgcn_relation_weights(params).astype(cd)      # [R, Cin, Cout]
+    xc = x.astype(cd)
+    mf = mask_f.astype(cd)
+    mr = mask_r.astype(cd)
+
+    if num_u is None:
+        src_oh = jax.nn.one_hot(edge_src, n, dtype=cd)
+        dst_oh = jax.nn.one_hot(edge_dst, n, dtype=cd)
+        xs = jnp.einsum("ben,bnc->bec", src_oh, xc)
+        xd = jnp.einsum("ben,bnc->bec", dst_oh, xc)
+    else:
+        nu = int(num_u)
+        src_oh = jax.nn.one_hot(edge_src, nu, dtype=cd)
+        dst_oh = jax.nn.one_hot(edge_dst - nu, n - nu, dtype=cd)
+        xs = jnp.einsum("beu,buc->bec", src_oh, xc[:, :nu])
+        xd = jnp.einsum("bev,bvc->bec", dst_oh, xc[:, nu:])
+
+    msgs_f, msgs_r = [], []
+    off = 0
+    for r, cap in enumerate(rel_caps):
+        seg = slice(off, off + int(cap))
+        off += int(cap)
+        msgs_f.append(xs[:, seg] @ W[r])
+        msgs_r.append(xd[:, seg] @ W[r])
+    msg_f = jnp.concatenate(msgs_f, axis=1) * mf[..., None]  # [B, E, Cout]
+    msg_r = jnp.concatenate(msgs_r, axis=1) * mr[..., None]
+
+    if num_u is None:
+        agg = (jnp.einsum("bei,beo->bio", dst_oh, msg_f,
+                          preferred_element_type=jnp.float32)
+               + jnp.einsum("bei,beo->bio", src_oh, msg_r,
+                            preferred_element_type=jnp.float32))
+        if aggr == "mean":
+            deg = (jnp.einsum("be,bei->bi", mf, dst_oh)
+                   + jnp.einsum("be,bei->bi", mr, src_oh))
+    else:
+        zv = jnp.einsum("bev,beo->bvo", dst_oh, msg_f,
+                        preferred_element_type=jnp.float32)
+        zu = jnp.einsum("beu,beo->buo", src_oh, msg_r,
+                        preferred_element_type=jnp.float32)
+        agg = jnp.concatenate([zu, zv], axis=1)
+        if aggr == "mean":
+            deg = jnp.concatenate(
+                [jnp.einsum("be,beu->bu", mr, src_oh),
+                 jnp.einsum("be,bev->bv", mf, dst_oh)], axis=1)
+    agg = agg.astype(jnp.float32)
+    if aggr == "mean":
+        agg = agg / jnp.maximum(deg.astype(jnp.float32), 1.0)[..., None]
+    return agg + x @ params["root"] + params["bias"]
+
+
 def build_dense_adj(edge_src, edge_dst, edge_type, mask, num_relations: int,
                     node_slot: int, compute_dtype=None):
     """Per-relation dense adjacency A[b, r, i, j] = Σ_e mask·1[type_e=r,
