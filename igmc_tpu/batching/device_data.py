@@ -28,6 +28,21 @@ import numpy as np
 from .batch import GraphBatch, topk_sum_bound
 
 
+def _rel_sorted(packed, R: int):
+    """A shallow view of `packed` whose edge tables are stably sorted by
+    relation WITHIN each graph (offsets/labels unchanged)."""
+    import copy
+
+    gid = np.repeat(np.arange(len(packed), dtype=np.int64),
+                    np.diff(packed.edge_offsets))
+    order = np.lexsort((packed.etype.astype(np.int64), gid))
+    out = copy.copy(packed)
+    out.src = packed.src[order]
+    out.dst = packed.dst[order]
+    out.etype = packed.etype[order]
+    return out
+
+
 def _compact_int(a: np.ndarray) -> np.ndarray:
     """Narrowest of int8/int16/int32 that holds `a` losslessly."""
     if a.size == 0:
@@ -44,18 +59,40 @@ class DeviceDataset:
     """The packed subgraph arrays, device-resident, plus static metadata."""
 
     def __init__(self, packed, node_pad: int, edge_pad: int,
-                 batch_graphs: int, sharding=None):
+                 batch_graphs: int, sharding=None,
+                 rel_sort: Optional[int] = None):
         """`packed` is a batching.dataset._PackedGraphs; `edge_pad` counts
         DIRECTED edges (2x stored forward edges), matching the host ladder.
         `sharding` places the packed tables (e.g. replicated over a DP mesh
         so sharded-batch gathers stay collective-free); default = the
-        default device."""
+        default device.
+
+        `rel_sort` = R: store each graph's edges SORTED by relation and a
+        per-graph [R+1] segment-start table — required by the
+        relation-slotted assembly (assemble_dense rel_caps). One host-side
+        stable lexsort at build time; flat/unified assemblies still work
+        (edge order within a graph is irrelevant to them)."""
         if edge_pad % 2:
             raise ValueError("edge_pad must be even (fwd+rev halves)")
         self.node_pad = int(node_pad)
         self.edge_pad = int(edge_pad)
         self.batch_graphs = int(batch_graphs)
         self.num_graphs = len(packed)
+        self.num_relations = rel_sort
+        if rel_sort is not None:
+            packed = _rel_sorted(packed, int(rel_sort))
+            # per-graph relation-segment starts, RELATIVE to the graph's
+            # edge offset: [G, R+1] with row = cumsum of per-rel counts
+            G, R = len(packed), int(rel_sort)
+            gid = np.repeat(np.arange(G, dtype=np.int64),
+                            np.diff(packed.edge_offsets))
+            cnt = np.zeros((G, R), np.int64)
+            np.add.at(cnt, (gid, packed.etype.astype(np.int64)), 1)
+            rel_start = np.zeros((G, R + 1), np.int32)
+            rel_start[:, 1:] = np.cumsum(cnt, axis=1).astype(np.int32)
+            self._rel_start_host = rel_start
+        else:
+            self._rel_start_host = None
 
         if sharding is not None:
             def put(x):
@@ -84,6 +121,8 @@ class DeviceDataset:
                        else None)
         self.v_feat = (put(packed.v_feat) if packed.v_feat is not None
                        else None)
+        self.rel_start = (put(self._rel_start_host)
+                          if self._rel_start_host is not None else None)
         # host copies for the loader's shape planning
         self._node_counts = np.diff(packed.node_offsets)
         self._edge_counts = 2 * np.diff(packed.edge_offsets)
@@ -100,17 +139,21 @@ class DeviceDataset:
 
 def _dd_flatten(dd: "DeviceDataset"):
     children = (dd.node_label, dd.src, dd.dst, dd.etype, dd.node_off,
-                dd.edge_off, dd.num_u, dd.y, dd.u_feat, dd.v_feat)
-    aux = (dd.node_pad, dd.edge_pad, dd.batch_graphs, dd.num_graphs)
+                dd.edge_off, dd.num_u, dd.y, dd.u_feat, dd.v_feat,
+                dd.rel_start)
+    aux = (dd.node_pad, dd.edge_pad, dd.batch_graphs, dd.num_graphs,
+           dd.num_relations)
     return children, aux
 
 
 def _dd_unflatten(aux, children):
     dd = DeviceDataset.__new__(DeviceDataset)
     (dd.node_label, dd.src, dd.dst, dd.etype, dd.node_off, dd.edge_off,
-     dd.num_u, dd.y, dd.u_feat, dd.v_feat) = children
-    dd.node_pad, dd.edge_pad, dd.batch_graphs, dd.num_graphs = aux
+     dd.num_u, dd.y, dd.u_feat, dd.v_feat, dd.rel_start) = children
+    (dd.node_pad, dd.edge_pad, dd.batch_graphs, dd.num_graphs,
+     dd.num_relations) = aux
     dd._node_counts = dd._edge_counts = None
+    dd._rel_start_host = None
     return dd
 
 
@@ -188,7 +231,8 @@ def assemble_batch(dd: DeviceDataset, gids) -> GraphBatch:
 
 def assemble_dense(dd: DeviceDataset, gids, node_slot: int,
                    edge_slot: int,
-                   num_u_slot: Optional[int] = None) -> "DenseBatch":
+                   num_u_slot: Optional[int] = None,
+                   rel_caps: Optional[tuple] = None) -> "DenseBatch":
     """Build one DenseBatch (batching/dense.py) on device from graph ids
     [B]: each graph lands in a fixed `node_slot`-row block with the target
     user at row 0 and the target item at row 1 (slot_perm semantics,
@@ -214,8 +258,32 @@ def assemble_dense(dd: DeviceDataset, gids, node_slot: int,
 
     r = jnp.arange(n, dtype=jnp.int32)[None, :]            # [1, n]
     e = jnp.arange(E, dtype=jnp.int32)[None, :]
-    evalid = (e < counts_e) & gmask[:, None]
-    epos = dd.edge_off[g][:, None] + jnp.where(evalid, e, 0)
+    if rel_caps is not None:
+        # RELATION-SLOTTED edge axis: slot position e belongs to the
+        # static segment pos2rel[e] at local offset pos2local[e]; the
+        # packed source index comes from the per-graph relation-start
+        # table (requires DeviceDataset(rel_sort=R)).
+        if dd.rel_start is None:
+            raise ValueError(
+                "assemble_dense(rel_caps=...) needs "
+                "DeviceDataset(rel_sort=num_relations)")
+        if sum(int(c) for c in rel_caps) != E:
+            raise ValueError(f"rel_caps {rel_caps} must sum to "
+                             f"edge_slot {E}")
+        caps = np.asarray(rel_caps, np.int64)
+        offs = np.concatenate([[0], np.cumsum(caps)])
+        pos2rel = np.repeat(np.arange(len(caps)), caps).astype(np.int32)
+        pos2local = (np.arange(E) - offs[pos2rel]).astype(np.int32)
+        p2r = jnp.asarray(pos2rel)[None, :]                # [1, E]
+        p2l = jnp.asarray(pos2local)[None, :]
+        seg_start = dd.rel_start[g][:, p2r[0]]             # [B, E]
+        seg_cnt = (dd.rel_start[g][:, p2r[0] + 1] - seg_start)
+        evalid = (p2l < seg_cnt) & gmask[:, None]
+        epos = (dd.edge_off[g][:, None]
+                + jnp.where(evalid, seg_start + p2l, 0))
+    else:
+        evalid = (e < counts_e) & gmask[:, None]
+        epos = dd.edge_off[g][:, None] + jnp.where(evalid, e, 0)
     # tables may be int8/int16-compacted: upcast right after the gather
     src_p = dd.src[epos].astype(jnp.int32)                 # user-local
     dst_p = dd.dst[epos].astype(jnp.int32)                 # num_u + item-local
@@ -238,7 +306,11 @@ def assemble_dense(dd: DeviceDataset, gids, node_slot: int,
 
     nidx = dd.node_off[g][:, None] + jnp.where(nvalid, packed_local, 0)
     node_label = jnp.where(nvalid, dd.node_label[nidx], 0).astype(jnp.int32)
-    edge_type = jnp.where(evalid, dd.etype[epos].astype(jnp.int32), 0)
+    if rel_caps is not None:
+        # relation is determined by the static slot position
+        edge_type = jnp.broadcast_to(p2r, (B, E)).astype(jnp.int32)
+    else:
+        edge_type = jnp.where(evalid, dd.etype[epos].astype(jnp.int32), 0)
 
     y = jnp.where(gmask, dd.y[g], 0.0).astype(jnp.float32)
     return DenseBatch(
@@ -252,6 +324,8 @@ def assemble_dense(dd: DeviceDataset, gids, node_slot: int,
         v_feat=(dd.v_feat[g] * gmask[:, None] if dd.v_feat is not None
                 else None),
         num_u=(int(num_u_slot) if num_u_slot is not None else None),
+        rel_caps=(tuple(int(c) for c in rel_caps)
+                  if rel_caps is not None else None),
     )
 
 

@@ -252,7 +252,8 @@ def make_dense_device_train_step(forward: Callable, optimizer,
                                  node_slot: int, edge_slot: int,
                                  ARR: float = 0.0,
                                  with_arr_params: bool = True,
-                                 mesh=None, num_u_slot=None):
+                                 mesh=None, num_u_slot=None,
+                                 rel_caps=None):
     """Device-resident scan step over the DENSE layout: each iteration
     assembles a DenseBatch in its (node_slot, edge_slot) bucket shape on
     device and runs one optimizer step. One instance per bucket shape
@@ -283,7 +284,7 @@ def make_dense_device_train_step(forward: Callable, optimizer,
             params, opt_state = carry
             gids, k_idx = xs
             batch = assemble_dense(dd, gids, node_slot, edge_slot,
-                                   num_u_slot)
+                                   num_u_slot, rel_caps)
             kk = jax.random.fold_in(key, step0 + k_idx)
             (loss, n), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch, kk
@@ -314,7 +315,7 @@ def make_chunked_dense_device_train_step(forward: Callable, optimizer,
                                          node_slot: int, edge_slot: int,
                                          chunk: int, ARR: float = 0.0,
                                          with_arr_params: bool = True,
-                                         num_u_slot=None):
+                                         num_u_slot=None, rel_caps=None):
     """Device-resident GIANT-batch step: same (params, opt_state, loss_acc,
     dd, [K, B] gid_block, key, step0) interface as
     make_dense_device_train_step, but each row's B graphs are streamed as
@@ -333,7 +334,8 @@ def make_chunked_dense_device_train_step(forward: Callable, optimizer,
     from ..batching.device_data import assemble_dense
 
     def chunk_sums(params, dd, gids, kk):
-        batch = assemble_dense(dd, gids, node_slot, edge_slot, num_u_slot)
+        batch = assemble_dense(dd, gids, node_slot, edge_slot, num_u_slot,
+                               rel_caps)
         preds = forward(params, batch, key=kk, training=True)
         gmask = batch.graph_mask.astype(jnp.float32)
         sse = jnp.sum(((preds - batch.y) ** 2) * gmask)
@@ -393,7 +395,7 @@ def make_chunked_dense_device_train_step(forward: Callable, optimizer,
 
 def make_dense_device_eval_step(forward: Callable, node_slot: int,
                                 edge_slot: int, mesh=None,
-                                num_u_slot=None):
+                                num_u_slot=None, rel_caps=None):
     """`acc` is a running (sse, cnt) pair threaded (donated) through the
     eval dispatches — same eager-op-free epoch discipline as the train
     steps. Returns ((sse, cnt), preds)."""
@@ -409,7 +411,7 @@ def make_dense_device_eval_step(forward: Callable, node_slot: int,
     def steps(params, acc, dd, gid_block):
         def body(_, gids):
             batch = assemble_dense(dd, gids, node_slot, edge_slot,
-                                   num_u_slot)
+                                   num_u_slot, rel_caps)
             preds = forward(params, batch, key=None, training=False)
             gmask = batch.graph_mask.astype(jnp.float32)
             sse = jnp.sum(((preds - batch.y) ** 2) * gmask)

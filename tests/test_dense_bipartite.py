@@ -360,3 +360,83 @@ def test_relslot_relmean_raises():
     params = igmc_init(jax.random.PRNGKey(16), cfg)
     with pytest.raises(ValueError, match="relslot"):
         igmc_forward(params, rel, cfg)
+
+
+def test_assemble_dense_relslot_matches_collate():
+    """assemble_dense(rel_caps) with a rel-sorted DeviceDataset reproduces
+    the host relation-slotted collate (both layouts)."""
+    from tests.test_regression import _toy_dataset
+    from igmc_tpu.batching.dense import plan_rel_caps
+    from igmc_tpu.batching.device_data import DeviceDataset, assemble_dense
+
+    ds, _ = _toy_dataset(seed=9, n_links=24)
+    graphs_all = [ds.get(i) for i in range(len(ds))]
+    caps = plan_rel_caps([g.etype for g in graphs_all], 5)
+    E = sum(caps)
+    nu = int(ds.packed.num_u.max()) + 2
+    nv = int((ds.node_counts() - ds.packed.num_u).max()) + 3
+    for num_u_slot, n in ((None, nu + nv), (nu, nu + nv)):
+        dd = DeviceDataset(ds.packed, 8, 16, 8, rel_sort=5)
+        gids = np.array([0, 3, 5, 7, 1, -1, 2, 4], np.int32)
+        dev = assemble_dense(dd, jax.numpy.asarray(gids), n, E,
+                             num_u_slot=num_u_slot, rel_caps=caps)
+        graphs = [ds.get(int(i)) for i in gids if i >= 0]
+        order = [gi for gi, i in enumerate(gids) if i >= 0]
+        host = collate_dense(graphs, len(gids), n, E,
+                             num_u_slot=num_u_slot, rel_caps=caps)
+        for hi, di in enumerate(order):
+            np.testing.assert_array_equal(host.node_label[hi],
+                                          np.asarray(dev.node_label)[di])
+            em_h = host.edge_mask[hi]
+            em_d = np.asarray(dev.edge_mask)[di]
+            np.testing.assert_array_equal(em_h, em_d)
+            # within each relation segment the edge SET matches (the host
+            # collate preserves input order, the device the sorted order —
+            # same segment, same set)
+            offs = np.concatenate([[0], np.cumsum(caps)])
+            for r in range(5):
+                seg = slice(offs[r], offs[r + 1])
+                hs = set(zip(host.edge_src[hi, seg][em_h[seg]].tolist(),
+                             host.edge_dst[hi, seg][em_h[seg]].tolist()))
+                dsg = set(zip(
+                    np.asarray(dev.edge_src)[di, seg][em_d[seg]].tolist(),
+                    np.asarray(dev.edge_dst)[di, seg][em_d[seg]].tolist()))
+                assert hs == dsg
+        assert dev.rel_caps == tuple(caps)
+        # forward parity through the model
+        cfg = IGMCConfig(num_relations=5, num_bases=4)
+        params = igmc_init(jax.random.PRNGKey(2), cfg)
+        out_d = igmc_forward(params, dev, cfg)
+        out_h = igmc_forward(params, host, cfg)
+        got = np.asarray(out_d)[order]
+        np.testing.assert_allclose(got, np.asarray(out_h)[:len(order)],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_relslot_device_train_step_runs():
+    """make_dense_device_train_step(rel_caps) trains finite on the
+    rel-sorted device dataset."""
+    from tests.test_regression import _toy_dataset
+    from igmc_tpu.batching.dense import plan_rel_caps
+    from igmc_tpu.batching.device_data import DeviceDataset
+    from igmc_tpu.train.loop import (make_dense_device_train_step,
+                                     make_optimizer)
+
+    ds, _ = _toy_dataset(seed=5, n_links=32)
+    graphs_all = [ds.get(i) for i in range(len(ds))]
+    caps = plan_rel_caps([g.etype for g in graphs_all], 5)
+    n = int(ds.node_counts().max()) + 2
+    dd = DeviceDataset(ds.packed, 8, 16, 8, rel_sort=5)
+    cfg = IGMCConfig(num_relations=5, num_bases=4, adj_dropout=0.2)
+    params = igmc_init(jax.random.PRNGKey(3), cfg)
+    fwd = lambda p, b, key=None, training=False: igmc_forward(
+        p, b, cfg, key, training)
+    opt = make_optimizer(1e-3)
+    step = make_dense_device_train_step(fwd, opt, n, sum(caps), ARR=0.001,
+                                        rel_caps=caps)
+    blk = np.arange(16, dtype=np.int32).reshape(2, 8)
+    p, s = params, opt.init(params)
+    p, s, loss_acc, ns = step(p, s, np.zeros((), np.float32), dd,
+                              jax.numpy.asarray(blk),
+                              jax.random.PRNGKey(1), jax.numpy.int32(0))
+    assert np.isfinite(float(loss_acc))
