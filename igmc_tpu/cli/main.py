@@ -172,7 +172,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "halving the R-GCN trunk's one-hot matmul widths "
                         "with identical math (batching/dense.py "
                         "DenseBatch.num_u; igmc only). auto = bipartite "
-                        "for static igmc dense runs, else unified")
+                        "for static igmc dense runs whose graphs reach "
+                        "~128 nodes (where the halved widths still fill "
+                        "the 128-wide MXU tile: 1.3-1.9x measured), else "
+                        "unified")
     p.add_argument("--dense-buckets", type=int, default=3,
                    help="max dense slot shapes (batch_mode=dense): more "
                         "buckets = less padded compute per epoch but ~2 "
@@ -529,7 +532,7 @@ def main(argv=None):
     static_data = not (args.dynamic_train or args.dynamic_test
                        or args.dynamic_val)
     dense_layout = args.dense_layout
-    if dense_layout == "bipartite":
+    if dense_layout == "bipartite":  # explicit: validate, any size
         if args.model != "igmc":
             raise SystemExit("--dense-layout bipartite applies to the "
                              "R-GCN trunk; use --model igmc")
@@ -538,9 +541,20 @@ def main(argv=None):
                              "device-resident dense path (batch-mode dense "
                              "+ static datasets)")
     elif dense_layout == "auto":
-        dense_layout = ("bipartite" if batch_mode == "dense"
-                        and args.model == "igmc" and static_data
-                        else "unified")
+        # bipartite halves the one-hot widths but only WINS once per-side
+        # slot widths reach the 128-lane tile (~64 rows/side, i.e. graphs
+        # of ~128+ nodes — ml_1m/yahoo-class buckets); at small Monti
+        # slots it is a measured wash (results_archive/
+        # dense_strategy_study_r05), so auto keeps those on unified and
+        # the archived small-slot quality bands exactly reproducible.
+        big = False
+        if batch_mode == "dense" and args.model == "igmc" and static_data:
+            try:
+                nc = train_graphs.node_counts()
+                big = len(nc) > 0 and int(nc.max()) >= 128
+            except Exception:
+                big = False
+        dense_layout = "bipartite" if big else "unified"
         if batch_mode == "dense":
             print(f"dense layout: {dense_layout} (auto)")
     mesh = None

@@ -402,9 +402,9 @@ def test_cli_dynamic_dense_alternate_model(tmp_path, monkeypatch):
 @pytest.mark.skipif(not MONTI_AVAILABLE, reason="Monti raw data not present")
 def test_cli_bipartite_dense_trains_and_ensembles(tmp_path, monkeypatch,
                                                   capsys):
-    """Static igmc dense runs auto-pick the bipartite slot layout (halved
-    one-hot widths, batching/dense.py DenseBatch.num_u) and train +
-    ensemble end-to-end through the real argv surface."""
+    """--dense-layout bipartite (the big-subgraph default; explicit here
+    because flixster's small slots auto-resolve to unified) trains +
+    ensembles end-to-end through the real argv surface."""
     from igmc_tpu.cli.main import main
 
     monkeypatch.chdir(tmp_path)
@@ -412,9 +412,17 @@ def test_cli_bipartite_dense_trains_and_ensembles(tmp_path, monkeypatch,
         "--data-name", "flixster", "--testing", "--debug",
         "--epochs", "2", "--batch-size", "50", "--save-interval", "1",
         "--max-train-num", "150", "--max-test-num", "60", "--ensemble",
+        "--dense-layout", "bipartite",
     ])
     out = capsys.readouterr().out
-    assert "dense layout: bipartite (auto)" in out
+    # small-slot datasets auto-resolve to unified (the bipartite win
+    # needs ~128-node graphs); the explicit flag was honored above
+    main([
+        "--data-name", "flixster", "--testing", "--debug",
+        "--epochs", "1", "--max-train-num", "60", "--max-test-num", "30",
+        "--save-appendix", "_auto",
+    ])
+    assert "dense layout: unified (auto)" in capsys.readouterr().out
     res = tmp_path / "results" / "flixster_testmode"
     lines = (res / "log.txt").read_text().strip().splitlines()
     assert "ensemble" in lines[-1]
