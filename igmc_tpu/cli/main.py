@@ -172,7 +172,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "halving the R-GCN trunk's one-hot matmul widths "
                         "with identical math (batching/dense.py "
                         "DenseBatch.num_u; igmc only). auto = bipartite "
-                        "for static igmc dense runs whose graphs reach "
+                        "for static igmc dense runs whose MEDIAN graph reaches "
                         "~128 nodes (where the halved widths still fill "
                         "the 128-wide MXU tile: 1.3-1.9x measured), else "
                         "unified")
@@ -543,15 +543,17 @@ def main(argv=None):
     elif dense_layout == "auto":
         # bipartite halves the one-hot widths but only WINS once per-side
         # slot widths reach the 128-lane tile (~64 rows/side, i.e. graphs
-        # of ~128+ nodes — ml_1m/yahoo-class buckets); at small Monti
-        # slots it is a measured wash (results_archive/
-        # dense_strategy_study_r05), so auto keeps those on unified and
-        # the archived small-slot quality bands exactly reproducible.
+        # of ~128+ nodes); at small slots it is a measured wash
+        # (results_archive/dense_strategy_study_r05). Gate on the MEDIAN
+        # node count so the dominant buckets decide: ml_1m mnph100
+        # (median 202) -> bipartite; douban/flixster/yahoo (medians
+        # 97/35/35) stay unified and their archived quality bands
+        # reproduce exactly.
         big = False
         if batch_mode == "dense" and args.model == "igmc" and static_data:
             try:
                 nc = train_graphs.node_counts()
-                big = len(nc) > 0 and int(nc.max()) >= 128
+                big = len(nc) > 0 and float(np.median(nc)) >= 128
             except Exception:
                 big = False
         dense_layout = "bipartite" if big else "unified"
