@@ -260,41 +260,31 @@ class DenseBucket:
     num_u_slot: Optional[int] = None
 
 
-def plan_dense_buckets(
-    node_counts,
-    fwd_edge_counts,
-    max_buckets: int = 3,
-    grid: int = 256,
-) -> List[DenseBucket]:
-    """Partition graphs into <= max_buckets (node, edge) slot shapes,
-    minimizing total padded COMPUTE, not graph-count quantiles.
+def _plan_buckets_core(dims, width_of, make_bucket, max_buckets: int,
+                       grid: int) -> List[DenseBucket]:
+    """Shared contiguous-segment DP behind the bucket planners.
 
-    The dense R-GCN aggregate's per-graph cost is ~ node_slot x edge_slot
-    (one-hot [e, n] matmuls; measured on the v5e across the flixster /
-    yahoo / r5 bench shapes, all within ~2x of a single constant), so
-    graphs are sorted by their real n*e cost and a dynamic program over
-    `grid` candidate split points picks the <= max_buckets contiguous
-    segments minimizing sum(count * node_slot * edge_slot) — each
-    bucket's slots are the member maxima rounded up to multiples of 8
-    for TPU tiling. On douban this cuts padded compute 1.5x vs
-    node-quantile splitting at the same bucket (= compiled-program)
-    count, and the knob composes: more buckets keep shrinking padding at
-    ~2 compiled programs each (see --dense-buckets).
+    `dims` = list of per-graph dimension arrays (the LAST is the edge
+    count; the rest are node-side widths). Graphs are sorted by real
+    width(dims)*edges cost; the DP over `grid` candidate cut points picks
+    <= max_buckets contiguous segments minimizing
+    sum(count * width(maxima) * round8(edge max)); `make_bucket(maxima,
+    indices)` builds each bucket from the rounded member maxima, and
+    shape-identical adjacent buckets merge.
     """
-    nc = np.asarray(node_counts, dtype=np.int64)
-    ec = np.asarray(fwd_edge_counts, dtype=np.int64)
-    n = len(nc)
+    dims = [np.asarray(d, dtype=np.int64) for d in dims]
+    n = len(dims[0])
     if n == 0:
         return []
-    order = np.argsort(nc * np.maximum(ec, 1), kind="stable")
-    ns, es = nc[order], ec[order]
+    ec = dims[-1]
+    cost = sum(dims[:-1]) * np.maximum(ec, 1)
+    order = np.argsort(cost, kind="stable")
+    sorted_dims = [d[order] for d in dims]
     cuts = np.unique(np.linspace(0, n, min(grid, n) + 1).astype(np.int64))
     C = len(cuts)
     # per-[cuts[i], cuts[j]) window maxima, by running max over segment maxima
-    seg_n = np.array([ns[cuts[i]:cuts[i + 1]].max(initial=0)
-                      for i in range(C - 1)])
-    seg_e = np.array([es[cuts[i]:cuts[i + 1]].max(initial=0)
-                      for i in range(C - 1)])
+    seg_max = [np.array([d[cuts[i]:cuts[i + 1]].max(initial=0)
+                         for i in range(C - 1)]) for d in sorted_dims]
 
     INF = float("inf")
     k = max(1, int(max_buckets))
@@ -302,12 +292,12 @@ def plan_dense_buckets(
     dp[0, 0] = 0.0
     parent = np.zeros((C, k + 1), np.int64)
     for i in range(C - 1):
-        run_n = 0
-        run_e = 0
+        run = [0] * len(dims)
         for j in range(i + 1, C):
-            run_n = max(run_n, int(seg_n[j - 1]))
-            run_e = max(run_e, int(seg_e[j - 1]))
-            w = (cuts[j] - cuts[i]) * _round8(run_n) * _round8(run_e)
+            for d in range(len(dims)):
+                run[d] = max(run[d], int(seg_max[d][j - 1]))
+            w = ((cuts[j] - cuts[i]) * width_of(run[:-1])
+                 * _round8(run[-1]))
             for b in range(1, k + 1):
                 v = dp[i, b - 1] + w
                 if v < dp[j, b]:
@@ -326,15 +316,46 @@ def plan_dense_buckets(
     buckets: List[DenseBucket] = []
     for i, j in segs:
         idx = order[i:j]
-        nslot = _round8(ns[i:j].max())
-        eslot = _round8(es[i:j].max())
-        if buckets and (nslot, eslot) == (buckets[-1].node_slot,
-                                          buckets[-1].edge_slot):
-            merged = np.concatenate([buckets[-1].indices, idx])
-            buckets[-1] = DenseBucket(nslot, eslot, merged)
+        maxima = [_round8(d[i:j].max()) for d in sorted_dims]
+        nb = make_bucket(maxima, idx)
+        if buckets and (nb.node_slot, nb.edge_slot, nb.num_u_slot) == (
+                buckets[-1].node_slot, buckets[-1].edge_slot,
+                buckets[-1].num_u_slot):
+            buckets[-1] = DenseBucket(
+                nb.node_slot, nb.edge_slot,
+                np.concatenate([buckets[-1].indices, nb.indices]),
+                nb.num_u_slot)
         else:
-            buckets.append(DenseBucket(nslot, eslot, idx))
+            buckets.append(nb)
     return buckets
+
+
+def plan_dense_buckets(
+    node_counts,
+    fwd_edge_counts,
+    max_buckets: int = 3,
+    grid: int = 256,
+) -> List[DenseBucket]:
+    """Partition graphs into <= max_buckets (node, edge) slot shapes,
+    minimizing total padded COMPUTE, not graph-count quantiles.
+
+    The dense R-GCN aggregate's per-graph cost is ~ node_slot x edge_slot
+    (one-hot [e, n] matmuls; measured on the v5e across the flixster /
+    yahoo / r5 bench shapes, all within ~2x of a single constant), so
+    graphs are sorted by their real n*e cost and the shared DP
+    (_plan_buckets_core) picks the <= max_buckets contiguous segments
+    minimizing sum(count * node_slot * edge_slot) — each bucket's slots
+    are the member maxima rounded up to multiples of 8 for TPU tiling.
+    On douban this cuts padded compute 1.5x vs node-quantile splitting
+    at the same bucket (= compiled-program) count, and the knob
+    composes: more buckets keep shrinking padding at ~2 compiled
+    programs each (see --dense-buckets).
+    """
+    return _plan_buckets_core(
+        [node_counts, fwd_edge_counts],
+        width_of=lambda nodes: _round8(nodes[0]),
+        make_bucket=lambda m, idx: DenseBucket(m[0], m[1], idx),
+        max_buckets=max_buckets, grid=grid)
 
 
 def plan_rel_caps(etypes: Sequence[np.ndarray], num_relations: int,
@@ -360,64 +381,11 @@ def plan_bipartite_buckets(
     """plan_dense_buckets for the BIPARTITE slot layout: each bucket gets
     separate user/item slot widths (member maxima, each rounded to 8) and
     the compute cost of a member is (nu_slot + nv_slot) * edge_slot — the
-    one-hot matmuls span one side each. Same contiguous-segment DP; sort
-    key is real (nu + nv) * e cost."""
-    uc = np.asarray(u_counts, dtype=np.int64)
-    vc = np.asarray(v_counts, dtype=np.int64)
-    ec = np.asarray(fwd_edge_counts, dtype=np.int64)
-    n = len(uc)
-    if n == 0:
-        return []
-    order = np.argsort((uc + vc) * np.maximum(ec, 1), kind="stable")
-    us, vs, es = uc[order], vc[order], ec[order]
-    cuts = np.unique(np.linspace(0, n, min(grid, n) + 1).astype(np.int64))
-    C = len(cuts)
-    seg_u = np.array([us[cuts[i]:cuts[i + 1]].max(initial=0)
-                      for i in range(C - 1)])
-    seg_v = np.array([vs[cuts[i]:cuts[i + 1]].max(initial=0)
-                      for i in range(C - 1)])
-    seg_e = np.array([es[cuts[i]:cuts[i + 1]].max(initial=0)
-                      for i in range(C - 1)])
-
-    INF = float("inf")
-    k = max(1, int(max_buckets))
-    dp = np.full((C, k + 1), INF)
-    dp[0, 0] = 0.0
-    parent = np.zeros((C, k + 1), np.int64)
-    for i in range(C - 1):
-        run_u = run_v = run_e = 0
-        for j in range(i + 1, C):
-            run_u = max(run_u, int(seg_u[j - 1]))
-            run_v = max(run_v, int(seg_v[j - 1]))
-            run_e = max(run_e, int(seg_e[j - 1]))
-            w = ((cuts[j] - cuts[i])
-                 * (_round8(run_u) + _round8(run_v)) * _round8(run_e))
-            for b in range(1, k + 1):
-                val = dp[i, b - 1] + w
-                if val < dp[j, b]:
-                    dp[j, b] = val
-                    parent[j, b] = i
-
-    best_b = int(np.argmin(dp[C - 1, 1:]) + 1)
-    segs = []
-    j, b = C - 1, best_b
-    while b > 0 and j > 0:
-        i = parent[j, b]
-        segs.append((int(cuts[i]), int(cuts[j])))
-        j, b = int(i), b - 1
-    segs.reverse()
-
-    buckets: List[DenseBucket] = []
-    for i, j in segs:
-        idx = order[i:j]
-        nu = _round8(us[i:j].max())
-        nv = _round8(vs[i:j].max())
-        eslot = _round8(es[i:j].max())
-        key = (nu + nv, eslot, nu)
-        if buckets and key == (buckets[-1].node_slot, buckets[-1].edge_slot,
-                               buckets[-1].num_u_slot):
-            merged = np.concatenate([buckets[-1].indices, idx])
-            buckets[-1] = DenseBucket(nu + nv, eslot, merged, nu)
-        else:
-            buckets.append(DenseBucket(nu + nv, eslot, idx, nu))
-    return buckets
+    one-hot matmuls span one side each. Same shared DP; sort key is real
+    (nu + nv) * e cost."""
+    return _plan_buckets_core(
+        [u_counts, v_counts, fwd_edge_counts],
+        width_of=lambda sides: _round8(sides[0]) + _round8(sides[1]),
+        make_bucket=lambda m, idx: DenseBucket(m[0] + m[1], m[2], idx,
+                                               m[0]),
+        max_buckets=max_buckets, grid=grid)

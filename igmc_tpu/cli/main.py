@@ -433,6 +433,11 @@ def main(argv=None):
                              "giant-batch path; under --parallel ep the "
                              "giant batch is already edge-partitioned "
                              "across devices — drop --dense-chunk")
+        if args.dense_layout != "auto":
+            raise SystemExit("--dense-layout applies to the dense batch "
+                             "layout; --parallel ep uses the "
+                             "edge-partitioned layout — drop "
+                             "--dense-layout")
         from ..parallel import make_mesh
 
         D = max(args.n_devices, 1)
@@ -540,6 +545,10 @@ def main(argv=None):
             raise SystemExit("--dense-layout bipartite needs the "
                              "device-resident dense path (batch-mode dense "
                              "+ static datasets)")
+        if args.dense_strategy == "adjacency":
+            raise SystemExit("--dense-strategy adjacency is unified-layout "
+                             "only (models/igmc.py); drop it or use "
+                             "--dense-layout unified")
     elif dense_layout == "auto":
         # bipartite halves the one-hot widths but only WINS once per-side
         # slot widths reach the 128-lane tile (~64 rows/side, i.e. graphs
@@ -550,7 +559,9 @@ def main(argv=None):
         # 97/35/35) stay unified and their archived quality bands
         # reproduce exactly.
         big = False
-        if batch_mode == "dense" and args.model == "igmc" and static_data:
+        if (batch_mode == "dense" and args.model == "igmc" and static_data
+                and args.dense_strategy != "adjacency"):
+            # adjacency strategy is unified-layout only
             try:
                 nc = train_graphs.node_counts()
                 big = len(nc) > 0 and float(np.median(nc)) >= 128

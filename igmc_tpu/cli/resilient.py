@@ -67,16 +67,20 @@ def child_results_dir(child_args):
 def supervise(build_cmd, res_dir: str, log_path: str,
               stall_timeout: float = 900.0, max_restarts: int = 5,
               poll: float = 5.0, term_grace: float = 20.0,
-              sleep_fn=time.sleep):
+              sleep_fn=time.sleep, initial_resume=None):
     """Run build_cmd(resume_epoch) children until one exits 0.
 
     Returns (exit_code, history) where history is a list of
     (reason, resume_epoch) per intervention. `build_cmd` maps the resume
-    epoch (None = fresh) to an argv list.
+    epoch (None = fresh) to an argv list. The FIRST launch uses
+    `initial_resume` exactly as given (the caller's own --continue-from,
+    or None for a fresh start) — checkpoints left in the results dir by
+    a PREVIOUS run must not silently turn a requested fresh run into a
+    no-op resume; only post-failure relaunches scan the directory.
     """
     history = []
     restarts = 0
-    resume = latest_checkpoint_epoch(res_dir)
+    resume = initial_resume
     while True:
         cmd = build_cmd(resume)
         os.makedirs(os.path.dirname(os.path.abspath(log_path)), exist_ok=True)
@@ -95,13 +99,18 @@ def supervise(build_cmd, res_dir: str, log_path: str,
                 if age > stall_timeout:
                     stalled = True
                     # kill the child's OWN process group (exact pgid of a
-                    # process we spawned; never a pattern match)
-                    pgid = os.getpgid(child.pid)
-                    os.killpg(pgid, signal.SIGTERM)
+                    # process we spawned; never a pattern match). The
+                    # child may die on its own in this window — treat a
+                    # vanished group as already exited.
                     try:
-                        child.wait(timeout=term_grace)
-                    except subprocess.TimeoutExpired:
-                        os.killpg(pgid, signal.SIGKILL)
+                        pgid = os.getpgid(child.pid)
+                        os.killpg(pgid, signal.SIGTERM)
+                        try:
+                            child.wait(timeout=term_grace)
+                        except subprocess.TimeoutExpired:
+                            os.killpg(pgid, signal.SIGKILL)
+                            child.wait()
+                    except ProcessLookupError:
                         child.wait()
                     rc = child.returncode
                     break
@@ -120,7 +129,9 @@ def supervise(build_cmd, res_dir: str, log_path: str,
         if restarts > max_restarts:
             print(f"supervisor: giving up after {max_restarts} restarts; "
                   f"history: {history}", flush=True)
-            return rc if rc else 1, history
+            # deliberate positive exit status (a signal-killed child's raw
+            # rc is negative, which SystemExit would garble)
+            return rc if rc and rc > 0 else 1, history
 
 
 def main(argv=None):
@@ -149,10 +160,13 @@ def main(argv=None):
     res_dir = child_results_dir(child_args)
     log_path = args.log or os.path.join(res_dir, "supervisor.log")
 
-    # strip any caller --continue-from; the supervisor owns resumption
+    # the supervisor owns resumption AFTER a failure; the caller's own
+    # --continue-from (if any) applies to the first launch only
     base = list(child_args)
+    initial_resume = None
     if "--continue-from" in base:
         i = base.index("--continue-from")
+        initial_resume = int(base[i + 1])
         del base[i:i + 2]
 
     def build_cmd(resume):
@@ -163,7 +177,8 @@ def main(argv=None):
 
     rc, history = supervise(build_cmd, res_dir, log_path,
                             stall_timeout=args.stall_timeout,
-                            max_restarts=args.max_restarts)
+                            max_restarts=args.max_restarts,
+                            initial_resume=initial_resume)
     if history:
         print(f"supervisor: {len(history)} intervention(s): {history}",
               flush=True)

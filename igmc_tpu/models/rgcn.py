@@ -131,7 +131,7 @@ def rgcn_apply(params, x, edge_src, edge_dst, edge_type, edge_mask,
 
 def rgcn_dense_apply(params, x, edge_src, edge_dst, edge_type,
                      mask_f, mask_r, aggr: str = "mean", compute_dtype=None,
-                     per_basis: bool = False, prebuilt=None):
+                     per_basis: bool = False):
     """Relational graph convolution over DENSE-BLOCKED batches (batching/
     dense.py): x is [B, n, C], edges are FORWARD-only [B, E] graph-local
     indices, and messages flow in both directions (the reverse direction is
@@ -161,14 +161,13 @@ def rgcn_dense_apply(params, x, edge_src, edge_dst, edge_type,
 
     mf = mask_f.astype(cd)
     mr = mask_r.astype(cd)
-    if prebuilt is not None:
-        # layer-invariant tensors built once per forward by the caller
-        # (see dense_onehots) — saves the per-layer VPU rematerialization
-        src_oh, dst_oh, rel_oh = prebuilt
-    else:
-        src_oh = jax.nn.one_hot(edge_src, n, dtype=cd)   # [B, E, n]
-        dst_oh = jax.nn.one_hot(edge_dst, n, dtype=cd)
-        rel_oh = jax.nn.one_hot(edge_type, R, dtype=cd)  # [B, E, R]
+    # NOTE: the one-hots are layer-invariant, but hoisting them out of the
+    # layer loop (with or without an optimization_barrier) measured equal
+    # or slower — XLA's own rematerialization schedule is already optimal
+    # here (results_archive/dense_strategy_study_r05/probe_hoist.log).
+    src_oh = jax.nn.one_hot(edge_src, n, dtype=cd)   # [B, E, n]
+    dst_oh = jax.nn.one_hot(edge_dst, n, dtype=cd)
+    rel_oh = jax.nn.one_hot(edge_type, R, dtype=cd)  # [B, E, R]
     att_e = rel_oh @ params["att"].astype(cd)        # [B, E, nb] (MXU gather)
 
     xc = x.astype(cd)

@@ -37,11 +37,17 @@ def resolve_checkpoint(res_dir: str, kind: str, epoch) -> str:
 
 
 def save_checkpoint(path: str, pytree) -> None:
+    """Atomic write (tmp + rename): a kill mid-save — e.g. the resilient
+    supervisor's stall killpg (cli/resilient.py) or a host OOM — must
+    never leave a truncated file at the checkpoint path, because resume
+    and ensembling both pick checkpoints BY NAME."""
     from flax import serialization
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(pytree))
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str, template):

@@ -467,3 +467,16 @@ def test_cli_bipartite_flag_validation():
         main(["--data-name", "flixster", "--testing", "--debug",
               "--epochs", "1", "--dense-layout", "bipartite",
               "--batch-mode", "flat"])
+
+
+def test_cli_bipartite_adjacency_conflict():
+    from igmc_tpu.cli.main import main
+
+    with pytest.raises(SystemExit):
+        main(["--data-name", "flixster", "--testing", "--debug",
+              "--epochs", "1", "--dense-layout", "bipartite",
+              "--dense-strategy", "adjacency"])
+    with pytest.raises(SystemExit):
+        main(["--data-name", "flixster", "--testing", "--debug",
+              "--epochs", "1", "--parallel", "ep", "--n-devices", "2",
+              "--dense-layout", "bipartite"])

@@ -102,3 +102,37 @@ def test_resilient_cli_end_to_end(tmp_path, monkeypatch):
     assert len(log) == 1
     assert np.isfinite(float(log[-1].split(" ")[-1]))
     assert (res / "supervisor.log").exists()
+
+
+def test_supervise_first_launch_ignores_stale_checkpoints(tmp_path):
+    """Checkpoints left by a PREVIOUS run must not turn a fresh run into
+    a silent no-op resume: only post-failure relaunches scan the dir."""
+    res = tmp_path / "res"
+    res.mkdir()
+    (res / "model_checkpoint80.ckpt").write_bytes(b"stale")
+    script = tmp_path / "ok.py"
+    script.write_text("print('fresh run', flush=True)")
+    calls = []
+
+    def build_cmd(resume):
+        calls.append(resume)
+        return [sys.executable, str(script)]
+
+    rc, history = supervise(build_cmd, str(res), str(tmp_path / "sup.log"),
+                            stall_timeout=30.0, max_restarts=1, poll=0.2)
+    assert rc == 0 and calls == [None] and history == []
+
+
+def test_supervise_exit_code_never_negative(tmp_path):
+    """A signal-killed child's raw negative returncode must not leak as
+    the supervisor's exit status."""
+    script = tmp_path / "sigkill.py"
+    script.write_text(
+        "import os, signal; os.kill(os.getpid(), signal.SIGKILL)")
+    res = tmp_path / "res"
+    res.mkdir()
+    rc, history = supervise(
+        lambda resume: [sys.executable, str(script)],
+        str(res), str(tmp_path / "sup.log"),
+        stall_timeout=30.0, max_restarts=1, poll=0.2)
+    assert rc == 1 and len(history) == 2
